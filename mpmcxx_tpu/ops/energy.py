@@ -1,0 +1,126 @@
+"""Total-energy dispatcher.
+
+Pure-function equivalent of System::energy() (src/System.Energy.cpp:19-171):
+build pair tensors, dispatch ES / polarization / polarvdw / RD / 3-body per
+the static flags, and return an EnergyBreakdown pytree.  Under jit all
+branches are resolved at trace time (flags are static), so each
+configuration compiles to exactly the kernels it needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..flags import FFlags, RunParams
+from ..state import SystemState
+from . import ewald, pair_potentials, polar, polarvdw, three_body
+from .pairwise import PairTensors, build_pairs
+
+
+class EnergyBreakdown(NamedTuple):
+    total: jnp.ndarray               # potential incl. gwp kinetic (K)
+    rd: jnp.ndarray
+    coulombic: jnp.ndarray
+    polarization: jnp.ndarray
+    vdw: jnp.ndarray
+    three_body: jnp.ndarray
+    kinetic: jnp.ndarray             # gwp kinetic
+    mu: jnp.ndarray                  # [A,3] induced dipoles
+    polarization_iterations: jnp.ndarray
+    iterator_failed: jnp.ndarray
+    dipole_rrms: jnp.ndarray
+    cavity_penalty: jnp.ndarray      # cavity_autoreject_absolute extra
+
+
+def cavity_absolute_check(state: SystemState, pt: PairTensors,
+                          params: RunParams):
+    """MAXVALUE if any inter-molecular pair closer than the absolute scale
+    (src/System.Cavity.cpp:211-228)."""
+    mask = pt.triu & pt.alive & ~pt.same_mol
+    close = mask & (pt.rimg < params.cavity_autoreject_scale)
+    return jnp.where(jnp.any(close), const.MAXVALUE, 0.0)
+
+
+def energy_breakdown(state: SystemState, flags: FFlags,
+                     params: RunParams) -> EnergyBreakdown:
+    pt = build_pairs(state, flags)
+    z = jnp.zeros(())
+    coul = z
+    pol = z
+    vdw_e = z
+    kin = z
+    mu = state.mu * 0.0
+    pol_iters = z
+    failed = jnp.zeros((), bool)
+    rrms = z
+
+    amat = None
+    if not (flags.use_sg or flags.rd_only):
+        if flags.spectre:
+            coul = ewald.coulombic_nopbc(state, pt)
+        elif flags.gwp:
+            coul = ewald.coulombic_nopbc_gwp(state, pt)
+            kin = ewald.coulombic_kinetic_gwp(state)
+        else:
+            coul = ewald.coulombic(state, pt, flags, params)
+
+        if flags.polarization:
+            res = polar.polar(state, pt, flags, params)
+            pol, mu, pol_iters, failed, rrms = res
+
+        if flags.polarvdw:
+            amat = polar.thole_amatrix(state, pt, flags, params)
+            vdw_e = polarvdw.vdw(state, amat, pt, flags, params)
+
+    # repulsion/dispersion
+    if flags.rd_anharmonic:
+        rd = pair_potentials.anharmonic(state, flags, params)
+    elif flags.use_sg:
+        rd = pair_potentials.sg(state, pt, flags, params)
+    elif flags.use_dreiding:
+        rd = pair_potentials.dreiding(state, pt, flags, params)
+    elif flags.using_lj_buffered_14_7:
+        rd = pair_potentials.lj_buffered_14_7(state, pt, flags, params)
+    elif flags.using_disp_expansion:
+        rd = pair_potentials.disp_expansion(state, pt, flags, params)
+        if flags.disp_expansion_mbvdw:
+            # mbvdw couples the many-body vdw term into rd
+            # (src/System.Energy.cpp:1998-2002)
+            if amat is None:
+                amat = polar.thole_amatrix(state, pt, flags, params)
+            rd = rd + polarvdw.vdw(state, amat, pt, flags, params)
+    elif flags.cdvdw_exp_repulsion:
+        rd = pair_potentials.exp_repulsion(state, pt, flags, params)
+    elif not flags.gwp:
+        rd = pair_potentials.lj(state, pt, flags, params)
+    else:
+        rd = z
+
+    tb = three_body.axilrod_teller(state, pt, flags) \
+        if flags.using_axilrod_teller else z
+
+    total = rd + coul + pol + vdw_e + tb
+    if flags.gwp:
+        total = total + kin
+
+    pen = cavity_absolute_check(state, pt, params) \
+        if flags.cavity_autoreject_absolute else z
+
+    return EnergyBreakdown(
+        total=total, rd=rd, coulombic=coul, polarization=pol, vdw=vdw_e,
+        three_body=tb, kinetic=kin, mu=mu,
+        polarization_iterations=pol_iters, iterator_failed=failed,
+        dipole_rrms=rrms, cavity_penalty=pen)
+
+
+def total_energy(state: SystemState, flags: FFlags,
+                 params: RunParams) -> jnp.ndarray:
+    """Scalar potential energy incl. cavity penalty — the MC accept input
+    (return value of System::energy(), src/System.Energy.cpp:167-170)."""
+    eb = energy_breakdown(state, flags, params)
+    return eb.total + eb.cavity_penalty

@@ -1,0 +1,436 @@
+"""Thole dipole polarization.
+
+Replaces the reference's polarization stack (src/System.Energy.cpp:2492-3761):
+
+* A-matrix (dipole field tensor) with off/linear/exponential damping and
+  optional wolf-full correction (thole_amatrix, :2661-2770) — stored as
+  [A,A,3,3] blocks.
+* static field via no-PBC / Wolf / Ewald (thole_field, :3271-3445)
+* self-consistent solver: the reference's non-Gauss-Seidel path
+  (thole_iterative, :3450-3543) maps to a Jacobi fixed-point iteration in a
+  ``lax.while_loop`` (Gauss-Seidel is inherently sequential and would not
+  vectorise; plain/SOR/ESOR iterations are reproduced exactly).
+* exact matrix solve (thole_bmatrix/_dipoles, :3660-3710) via
+  ``jnp.linalg.solve`` instead of LU inversion.
+* full-Ewald SCF per Nymand & Linse (ewald_full, :2785-3143).  NOTE: the
+  reference's induced_recip_term collapses the per-component k weight into a
+  scalar (a loop bug at :3015-3016); we implement the correct vector weight.
+
+Energy = -1/2 sum mu . E_static (+ Palmo correction) in Kelvin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf, erfc
+
+from .. import constants as const
+from ..flags import FFlags, RunParams
+from ..state import SystemState
+from .pairwise import PairTensors
+from .ewald import kvectors
+
+
+class PolarResult(NamedTuple):
+    energy: jnp.ndarray          # polarization energy (K)
+    mu: jnp.ndarray              # [A,3] converged dipoles
+    iterations: jnp.ndarray      # iteration count (float)
+    iterator_failed: jnp.ndarray # bool
+    dipole_rrms: jnp.ndarray     # mean dipole rrms
+
+
+def thole_amatrix(state: SystemState, pt: PairTensors, flags: FFlags,
+                  params: RunParams):
+    """[A,A,3,3] dipole field tensor (src/System.Energy.cpp:2661-2770).
+
+    Diagonal blocks are 1/alpha * I (MAXVALUE if alpha == 0); dead-atom
+    pairs get zero off-diagonal blocks.
+    """
+    A = state.n_atom_slots
+    l = params.polar_damp
+    rcut = state.pbc.cutoff
+    r = pt.rimg
+    r_safe = jnp.where(r == 0.0, 1.0, r)
+    ir = 1.0 / r_safe
+    ir3 = jnp.where(r == 0.0, const.MAXVALUE, ir ** 3)
+    ir5 = jnp.where(r == 0.0, const.MAXVALUE, ir ** 5)
+
+    if flags.damp_type == const.DAMPING_OFF:
+        damp1 = jnp.where(pt.es_excluded, 0.0, 1.0)
+        damp2 = damp1
+        wdamp1 = damp1
+        wdamp2 = damp1
+    elif flags.damp_type == const.DAMPING_LINEAR:
+        ai = state.polarizability[:, None] * state.polarizability[None, :]
+        s = l * ai ** (1.0 / 6.0)
+        v = r / jnp.where(s == 0.0, 1.0, s)
+        damp1 = jnp.where(r < s, (4.0 - 3.0 * v) * v ** 3, 1.0)
+        damp2 = jnp.where(r < s, v ** 4, 1.0)
+        wdamp1 = jnp.ones_like(damp1)
+        wdamp2 = jnp.ones_like(damp2)
+    else:  # exponential
+        explr = jnp.exp(-l * r)
+        damp1 = 1.0 - explr * (0.5 * l * l * r * r + l * r + 1.0)
+        damp2 = damp1 - explr * (l ** 3 * r ** 3 / 6.0)
+        explrcut = jnp.exp(-l * rcut)
+        wdamp1 = 1.0 - explrcut * (0.5 * l * l * rcut * rcut + l * rcut + 1.0)
+        wdamp2 = wdamp1 - explrcut * (l ** 3 * rcut ** 3 / 6.0)
+
+    d = pt.dimg                                     # [A,A,3]
+    outer = d[..., :, None] * d[..., None, :]       # [A,A,3,3]
+    eye = jnp.eye(3)
+    block = (-3.0 * outer * (damp2 * ir5)[..., None, None] +
+             eye * (damp1 * ir3)[..., None, None])
+    if flags.polar_wolf_full:
+        block = block + (3.0 * outer *
+                         (wdamp2 * ir * ir / rcut ** 3)[..., None, None] -
+                         eye * (wdamp1 / rcut ** 3)[..., None, None])
+
+    offdiag = ~jnp.eye(A, dtype=bool) & pt.alive
+    block = jnp.where(offdiag[..., None, None], block, 0.0)
+
+    inv_alpha = jnp.where(state.polarizability != 0.0,
+                          1.0 / jnp.where(state.polarizability == 0.0, 1.0,
+                                          state.polarizability),
+                          const.MAXVALUE)
+    diag = eye * inv_alpha[:, None, None]           # [A,3,3]
+    block = block.at[jnp.arange(A), jnp.arange(A)].set(diag)
+    return block
+
+
+def damp_factor(t, i: int):
+    """(src/System.Energy.cpp:3108-3116)"""
+    temp = 1.0 + t + 0.5 * t * t
+    if i == 3:
+        temp = temp + t ** 3 / 6.0
+    return temp * jnp.exp(-t)
+
+
+# ---------------------------------------------------------------------------
+# static fields
+# ---------------------------------------------------------------------------
+
+def thole_field_nopbc(state: SystemState, pt: PairTensors):
+    """(src/System.Energy.cpp:3300-3333)"""
+    mask = (~pt.frozen & ~pt.same_mol & pt.alive &
+            (pt.rimg - const.SMALL_dR < state.pbc.cutoff) & (pt.rimg != 0.0) &
+            ~jnp.eye(state.n_atom_slots, dtype=bool))
+    r3 = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg) ** 3
+    f = jnp.where(mask, 1.0 / r3, 0.0)
+    q_j = state.charge[None, :, None]
+    return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
+
+
+def thole_field_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
+                     params: RunParams):
+    """(src/System.Energy.cpp:3337-3396)"""
+    R = state.pbc.cutoff
+    rR = 1.0 / R
+    a = params.polar_wolf_alpha
+    mask = (~pt.frozen & ~pt.same_mol & pt.alive &
+            (pt.rimg - const.SMALL_dR < R) & (pt.rimg != 0.0) &
+            ~jnp.eye(state.n_atom_slots, dtype=bool))
+    r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
+    rr = 1.0 / r
+    cutoffterm = (erfc(a * R) * rR * rR +
+                  2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * R * R) * rR)
+    bigmess = (erfc(a * r) * rr * rr +
+               2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * r * r) * rr)
+    f_a0 = (rr * rr - rR * rR) * rr
+    f_an = (bigmess - cutoffterm) * rr
+    f = jnp.where(a == 0.0, f_a0, f_an)
+    f = jnp.where(mask, f, 0.0)
+    q_j = state.charge[None, :, None]
+    return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
+
+
+def recip_term(state: SystemState, flags: FFlags, params: RunParams):
+    """k-space static field (src/System.Energy.cpp:2834-2896)."""
+    ea = params.polar_ewald_alpha
+    k, k2 = kvectors(state, flags.ewald_kmax)       # [K,3],[K]
+    q = jnp.where(state.atom_alive(), state.charge, 0.0)
+    phase = state.pos @ k.T                         # [A,K]
+    cosp, sinp = jnp.cos(phase), jnp.sin(phase)
+    f1 = q @ cosp                                   # [K] sum q cos
+    f2 = q @ sinp
+    kweight = k / k2[:, None] * jnp.exp(-k2 / (4.0 * ea * ea))[:, None]  # [K,3]
+    # E_i[p] += kw[k,p]*(sin(k.r_i)*f1 - cos(k.r_i)*f2)
+    coeff = sinp * f1[None, :] - cosp * f2[None, :]  # [A,K]
+    E = coeff @ kweight                              # [A,3]
+    return E * 8.0 * const.pi / state.pbc.volume
+
+
+def real_term(state: SystemState, pt: PairTensors, params: RunParams):
+    """Real-space static field for the Ewald treatments
+    (src/System.Energy.cpp:2900-2940)."""
+    a = params.polar_ewald_alpha
+    A = state.n_atom_slots
+    notdiag = ~jnp.eye(A, dtype=bool)
+    base = pt.alive & ~pt.frozen & notdiag & (pt.rimg != 0.0) & \
+        ~(pt.rimg > state.pbc.cutoff)
+    r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
+    r2 = r * r
+    f_ex = (2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * r2) * r -
+            erf(a * r)) / (r * r2)
+    f_in = (2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * r2) * r +
+            erfc(a * r)) / (r2 * r)
+    f = jnp.where(pt.es_excluded, f_ex, f_in)
+    f = jnp.where(base, f, 0.0)
+    q_j = state.charge[None, :, None]
+    return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
+
+
+def thole_field(state: SystemState, pt: PairTensors, flags: FFlags,
+                params: RunParams):
+    """Static field dispatcher (src/System.Energy.cpp:3271-3297)."""
+    if flags.polar_ewald:
+        E = recip_term(state, flags, params) + real_term(state, pt, params)
+    elif flags.polar_wolf or flags.polar_wolf_full:
+        E = thole_field_wolf(state, pt, flags, params)
+    else:
+        E = thole_field_nopbc(state, pt)
+    return jnp.where(state.atom_alive()[:, None], E, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# solvers
+# ---------------------------------------------------------------------------
+
+def _contract(Amat, mu):
+    """ef_induced = -sum_{j!=i} A_ij mu_j  (off-diagonal blocks only; the
+    diagonal was overwritten with 1/alpha so exclude i==j)."""
+    A = mu.shape[0]
+    off = Amat * (~jnp.eye(A, dtype=bool))[:, :, None, None]
+    return -jnp.einsum("ijpq,jq->ip", off, mu)
+
+
+def _apply_relax(flags: FFlags, params: RunParams, new_mu, old_mu, it):
+    if flags.polar_sor:
+        return params.polar_gamma * new_mu + (1.0 - params.polar_gamma) * old_mu
+    if flags.polar_esor:
+        w = 1.0 - jnp.exp(-params.polar_gamma * it)
+        return w * new_mu + (1.0 - w) * old_mu
+    return new_mu
+
+
+def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
+                    params: RunParams):
+    """Fixed-point dipole solver (src/System.Energy.cpp:3450-3543).
+
+    Implements the reference's non-Gauss-Seidel update order (contract with
+    previous sweep's dipoles) including SOR/ESOR relaxation, fixed-iteration
+    and precision-based termination, and the 128-iteration divergence
+    fallback (mu = alpha*E_static, iterator_failed).
+    """
+    alpha = state.polarizability[:, None]
+    alive = state.atom_alive()[:, None]
+    mu0 = alpha * E_static
+    if not (flags.polar_sor or flags.polar_esor):
+        mu0 = mu0 * params.polar_gamma
+    mu0 = jnp.where(alive, mu0, 0.0)
+
+    if flags.polar_zodid:
+        rrms = _dipole_rrms_mean(state, mu0, mu0 * 0)
+        return mu0, jnp.zeros(()), jnp.zeros((), bool), rrms
+
+    max_iter = (flags.polar_max_iter if params.polar_precision == 0.0
+                else int(const.MAX_ITERATION_COUNT))
+    allowed_sqerr = (params.polar_precision ** 2 *
+                     const.DEBYE2SKA * const.DEBYE2SKA)
+
+    def cond(carry):
+        mu, old, it, done = carry
+        return ~done & (it < max_iter)
+
+    def body(carry):
+        mu, old, it, _ = carry
+        it = it + 1
+        ef_ind = _contract(Amat, mu)
+        new_mu = alpha * (E_static + ef_ind)
+        new_mu = jnp.where(alive, new_mu, 0.0)
+        relaxed = _apply_relax(flags, params, new_mu, mu, it)
+        if params.polar_precision == 0.0:
+            done = it >= max_iter
+        else:
+            err2 = (new_mu - mu) ** 2
+            done = jnp.all(err2 <= allowed_sqerr)
+        return (relaxed, mu, it, done)
+
+    mu, old_mu, iters, done = jax.lax.while_loop(
+        cond, body, (mu0, jnp.zeros_like(mu0), jnp.zeros((), jnp.int32),
+                     jnp.zeros((), bool)))
+
+    failed = (params.polar_precision > 0.0) & ~done
+    mu = jnp.where(failed, jnp.where(alive, alpha * E_static, 0.0), mu)
+    rrms = _dipole_rrms_mean(state, mu, old_mu)
+    return mu, iters.astype(jnp.float64), failed, rrms
+
+
+def _dipole_rrms_mean(state: SystemState, new_mu, old_mu):
+    """(src/System.Energy.cpp:3147-3177 + 2639-2657)"""
+    num = jnp.sum((new_mu - old_mu) ** 2, axis=-1)
+    den = jnp.sum(new_mu * new_mu, axis=-1)
+    rrms = jnp.sqrt(num / jnp.where(den == 0.0, 1.0, den))
+    rrms = jnp.where(jnp.isfinite(rrms) & (den != 0.0), rrms, 0.0)
+    return jnp.sum(rrms) / state.n_atom_slots
+
+
+def thole_exact(state: SystemState, Amat, E_static):
+    """Exact dipoles via linear solve (replaces B-matrix LU inversion,
+    src/System.Energy.cpp:3660-3710)."""
+    A = state.n_atom_slots
+    M = jnp.transpose(Amat, (0, 2, 1, 3)).reshape(3 * A, 3 * A)
+    mu = jnp.linalg.solve(M, E_static.reshape(-1)).reshape(A, 3)
+    return jnp.where(state.atom_alive()[:, None], mu, 0.0)
+
+
+# --- full-Ewald SCF (Nymand & Linse) ---------------------------------------
+
+def induced_real_term(state: SystemState, pt: PairTensors, flags: FFlags,
+                      params: RunParams, mu):
+    """(src/System.Energy.cpp:3046-3104)"""
+    a = params.polar_ewald_alpha
+    l = params.polar_damp
+    A = state.n_atom_slots
+    pol = state.polarizability
+    mask = (pt.alive & ~jnp.eye(A, dtype=bool) &
+            (pol[:, None] != 0.0) & (pol[None, :] != 0.0) &
+            ~(pt.rimg > state.pbc.cutoff))
+    r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
+    ir3 = 1.0 / r ** 3
+    ir5 = 1.0 / r ** 5
+    erfcar = erfc(a * r)
+    expa2r2 = jnp.exp(-a * a * r * r)
+    s2 = (erfcar + 2.0 * a * r * const.OneOverSqrtPi * expa2r2 +
+          4.0 * (a ** 3) * (r ** 3) / 3.0 * const.OneOverSqrtPi * expa2r2 -
+          damp_factor(l * r, 3))
+    s1 = (erfcar + 2.0 * a * r * const.OneOverSqrtPi * expa2r2 -
+          damp_factor(l * r, 2))
+    d = pt.dimg
+    outer = d[..., :, None] * d[..., None, :]
+    T = 3.0 * outer * (s2 * ir5)[..., None, None] - \
+        jnp.eye(3) * (s1 * ir3)[..., None, None]
+    T = jnp.where(mask[..., None, None], T, 0.0)
+    return jnp.einsum("ijpq,jq->ip", T, mu)
+
+
+def induced_recip_term(state: SystemState, flags: FFlags, params: RunParams,
+                       mu):
+    """(src/System.Energy.cpp:2975-3042; corrected vector k-weight)"""
+    a = params.polar_ewald_alpha
+    k, k2 = kvectors(state, flags.ewald_kmax)
+    alive = state.atom_alive()
+    mu_m = jnp.where(alive[:, None], mu, 0.0)
+    phase = state.pos @ k.T                      # [A,K]
+    kmu = mu_m @ k.T                             # [A,K]
+    Pcos = jnp.sum(kmu * jnp.cos(phase), axis=0) # [K]
+    Psin = jnp.sum(kmu * jnp.sin(phase), axis=0)
+    w = 8.0 * const.pi / state.pbc.volume * jnp.exp(-k2 / (4 * a * a)) / k2
+    coeff = -(jnp.sin(phase) * Psin[None] + jnp.cos(phase) * Pcos[None])  # [A,K]
+    return (coeff * w[None]) @ k                 # [A,3]
+
+
+def induced_corr_term(state: SystemState, params: RunParams, mu):
+    """(src/System.Energy.cpp:3120-3143)"""
+    a = params.polar_ewald_alpha
+    alive = state.atom_alive()[:, None]
+    mu_m = jnp.where(alive, mu, 0.0)
+    total = jnp.sum(mu_m, axis=0)
+    return (-4.0 * const.pi / (3.0 * state.pbc.volume) * total[None, :] +
+            4.0 * a ** 3 / (3.0 * const.SqrtPi) * mu_m)
+
+
+def ewald_full(state: SystemState, pt: PairTensors, flags: FFlags,
+               params: RunParams):
+    """Full-Ewald SCF (src/System.Energy.cpp:2785-2830). Returns
+    (E_static, mu, iterations, failed, rrms, ef_induced_change)."""
+    E_static = recip_term(state, flags, params) + real_term(state, pt, params)
+    alive = state.atom_alive()[:, None]
+    E_static = jnp.where(alive, E_static, 0.0)
+    alpha = state.polarizability[:, None]
+    mu0 = jnp.where(alive, alpha * E_static, 0.0)
+
+    max_iter = (flags.polar_max_iter if params.polar_precision == 0.0
+                else int(const.MAX_ITERATION_COUNT))
+    allowed_sqerr = (params.polar_precision ** 2 *
+                     const.DEBYE2SKA * const.DEBYE2SKA)
+
+    def induced(mu):
+        return (induced_real_term(state, pt, flags, params, mu) +
+                induced_recip_term(state, flags, params, mu) +
+                induced_corr_term(state, params, mu))
+
+    def cond(carry):
+        mu, old, it, done = carry
+        return ~done & (it < max_iter)
+
+    def body(carry):
+        mu, old, it, _ = carry
+        ef_ind = induced(mu)
+        new_mu = jnp.where(alive, alpha * (E_static + ef_ind), 0.0)
+        relaxed = _apply_relax(flags, params, new_mu, mu, it + 1)
+        if params.polar_precision == 0.0:
+            done = (it + 1) >= max_iter
+        else:
+            done = jnp.all((new_mu - mu) ** 2 <= allowed_sqerr)
+        return (relaxed, mu, it + 1, done)
+
+    mu, old_mu, iters, done = jax.lax.while_loop(
+        cond, body, (mu0, jnp.zeros_like(mu0), jnp.zeros((), jnp.int32),
+                     jnp.zeros((), bool)))
+    failed = (params.polar_precision > 0.0) & ~done
+
+    if flags.polar_palmo:
+        ef_ind = induced(mu)
+        safe_alpha = jnp.where(alpha == 0.0, 1.0, alpha)
+        change = ef_ind - (mu / safe_alpha - E_static)
+        change = jnp.where(alive & (alpha != 0.0), change, 0.0)
+    else:
+        change = jnp.zeros_like(mu)
+
+    rrms = _dipole_rrms_mean(state, mu, old_mu)
+    return E_static, mu, iters.astype(jnp.float64), failed, rrms, change
+
+
+def polar(state: SystemState, pt: PairTensors, flags: FFlags,
+          params: RunParams) -> PolarResult:
+    """Induction energy dispatcher (src/System.Energy.cpp:2534-2635)."""
+    if flags.polar_ewald_full:
+        E_static, mu, iters, failed, rrms, change = ewald_full(
+            state, pt, flags, params)
+        pot = jnp.sum(mu * E_static)
+        if flags.polar_palmo:
+            pot = pot + jnp.sum(mu * change)
+        return PolarResult(-0.5 * pot, mu, iters, failed, rrms)
+
+    Amat = thole_amatrix(state, pt, flags, params)
+    E_static = thole_field(state, pt, flags, params)
+
+    if flags.polar_iterative:
+        mu, iters, failed, rrms = thole_iterative(state, Amat, E_static,
+                                                  flags, params)
+        pot = jnp.sum(mu * E_static)
+        if flags.polar_palmo:
+            # Palmo: change in induced field between one more contraction and
+            # the field implied by the final dipoles
+            # (src/System.Energy.cpp:3602-3627)
+            ef_ind = _contract(Amat, mu)
+            safe_alpha = jnp.where(state.polarizability[:, None] == 0.0, 1.0,
+                                   state.polarizability[:, None])
+            implied = mu / safe_alpha - E_static
+            change = ef_ind - implied
+            change = jnp.where(state.atom_alive()[:, None] &
+                               (state.polarizability[:, None] != 0.0),
+                               change, 0.0)
+            pot = pot + jnp.sum(mu * change)
+        return PolarResult(-0.5 * pot, mu, iters, failed, rrms)
+
+    # exact matrix path
+    mu = thole_exact(state, Amat, E_static)
+    pot = jnp.sum(mu * E_static)
+    return PolarResult(-0.5 * pot, mu, jnp.zeros(()), jnp.zeros((), bool),
+                       jnp.zeros(()))

@@ -1,0 +1,324 @@
+"""Fixed-shape array state for a simulation system.
+
+This replaces the reference's linked-list ``System``/``Molecule``/``Atom``
+data model (src/System.h:32, src/Molecule.h:10, src/Atom.h:10) with a flat
+SoA pytree sized to a static capacity:
+
+* Atoms live in ``[A]`` arrays grouped contiguously by molecule; the slot
+  assignment never changes under jit.  uVT insertion/removal flips the
+  ``mol_alive`` mask instead of doing list surgery
+  (replacing src/System.Pairs.cpp:53-152 entirely).
+* Molecules live in ``[M]`` arrays; ``mol_id[A]`` maps atoms to molecules.
+* Beads (path integrals), replicas, and Gibbs boxes add leading axes via
+  ``jax.vmap`` / stacking — the state itself is single-system.
+
+All statics (per-atom force-field parameters) are part of the pytree so a
+jitted energy is a pure function of state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as const
+from .pbc import PBC
+
+
+def _field(**kw):
+    return dataclasses.field(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Observables:
+    """Mirror of observables_t (src/System.h:94-113)."""
+
+    energy: jnp.ndarray = 0.0
+    coulombic_energy: jnp.ndarray = 0.0
+    rd_energy: jnp.ndarray = 0.0
+    polarization_energy: jnp.ndarray = 0.0
+    vdw_energy: jnp.ndarray = 0.0
+    three_body_energy: jnp.ndarray = 0.0
+    dipole_rrms: jnp.ndarray = 0.0
+    kinetic_energy: jnp.ndarray = 0.0
+    temperature: jnp.ndarray = 0.0
+    volume: jnp.ndarray = 0.0
+    N: jnp.ndarray = 0.0
+    NU: jnp.ndarray = 0.0
+    spin_ratio: jnp.ndarray = 0.0
+    frozen_mass: jnp.ndarray = 0.0
+    total_mass: jnp.ndarray = 0.0
+
+    def potential(self):
+        return (self.coulombic_energy + self.rd_energy +
+                self.polarization_energy + self.vdw_energy +
+                self.three_body_energy)
+
+    @classmethod
+    def zeros(cls):
+        z = jnp.zeros(())
+        return cls(**{f.name: z for f in dataclasses.fields(cls)})
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SystemState:
+    """Complete dynamic + static per-system state as one pytree."""
+
+    # --- dynamic ---
+    pos: jnp.ndarray            # [A,3] atom positions (Angstrom)
+    charge: jnp.ndarray         # [A] reduced units sqrt(K*A); dynamic for SPECTRE
+    nuclear_spin: jnp.ndarray   # [M] int32 (PARA/ORTHO)
+    mol_alive: jnp.ndarray      # [M] bool: molecule exists
+    pbc: PBC
+    mu: jnp.ndarray             # [A,3] induced dipoles (warm start for SCF)
+
+    # --- static per-atom force-field params ---
+    mass: jnp.ndarray           # [A] amu
+    polarizability: jnp.ndarray # [A]
+    epsilon: jnp.ndarray        # [A]
+    sigma: jnp.ndarray          # [A]
+    omega: jnp.ndarray          # [A]
+    gwp_alpha: jnp.ndarray      # [A]
+    c6: jnp.ndarray             # [A]
+    c8: jnp.ndarray             # [A]
+    c10: jnp.ndarray            # [A]
+    c9: jnp.ndarray             # [A]
+    frozen: jnp.ndarray         # [A] bool
+    adiabatic: jnp.ndarray      # [A] bool
+    spectre: jnp.ndarray        # [A] bool
+    target: jnp.ndarray         # [A] bool
+    gwp_spin: jnp.ndarray       # [A] bool
+
+    # --- static topology ---
+    mol_id: jnp.ndarray         # [A] int32 molecule index of each atom slot
+    mol_frozen: jnp.ndarray     # [M] bool
+    mol_adiabatic: jnp.ndarray  # [M] bool
+    mol_spectre: jnp.ndarray    # [M] bool
+    mol_target: jnp.ndarray     # [M] bool
+    mol_mass: jnp.ndarray       # [M] amu (sum of atom masses)
+    mol_type: jnp.ndarray       # [M] int32 species index
+    rot_partfunc_g: jnp.ndarray # [M]
+    rot_partfunc_u: jnp.ndarray # [M]
+
+    @property
+    def n_atom_slots(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def n_mol_slots(self) -> int:
+        return self.mol_alive.shape[0]
+
+    def atom_alive(self):
+        """[A] bool: atom slot's molecule is alive."""
+        return self.mol_alive[self.mol_id]
+
+    def count_N(self):
+        """Number of live movable molecules (src/System.cpp:909-931)."""
+        movable = self.mol_alive & ~(self.mol_frozen | self.mol_adiabatic |
+                                     self.mol_target)
+        return jnp.sum(movable)
+
+    def spin_ratio_sum(self):
+        movable = self.mol_alive & ~(self.mol_frozen | self.mol_adiabatic |
+                                     self.mol_target)
+        return jnp.sum(jnp.where(
+            movable & (self.nuclear_spin == const.NUCLEAR_SPIN_ORTHO), 1.0, 0.0))
+
+    def mol_com(self):
+        """[M,3] centers of mass (mass-weighted; src/System.cpp:1347-1374)."""
+        alive = self.atom_alive()
+        w = jnp.where(alive, self.mass, 0.0)
+        num = jax.ops.segment_sum(w[:, None] * self.pos, self.mol_id,
+                                  num_segments=self.n_mol_slots)
+        den = jax.ops.segment_sum(w, self.mol_id,
+                                  num_segments=self.n_mol_slots)
+        return num / jnp.where(den == 0.0, 1.0, den)[:, None]
+
+    def replace(self, **kw) -> "SystemState":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Builders (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class AtomRecord:
+    """One parsed PQR atom line (host side)."""
+    atomtype: str = "X"
+    moleculetype: str = "M"
+    molecule_id: int = 1
+    frozen: bool = False
+    adiabatic: bool = False
+    spectre: bool = False
+    target: bool = False
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    mass: float = 0.0
+    charge: float = 0.0   # already in reduced units
+    polarizability: float = 0.0
+    epsilon: float = 0.0
+    sigma: float = 0.0
+    omega: float = 0.0
+    gwp_alpha: float = 0.0
+    c6: float = 0.0
+    c8: float = 0.0
+    c10: float = 0.0
+    c9: float = 0.0
+
+
+def build_state(atoms: list[AtomRecord],
+                basis: np.ndarray,
+                species_names: Optional[list[str]] = None,
+                extra_mol_capacity: int = 0,
+                template_moleculetype: Optional[str] = None,
+                rot_partfunc: Optional[dict] = None,
+                dtype=jnp.float64) -> tuple[SystemState, dict]:
+    """Assemble a SystemState from parsed atom records.
+
+    ``extra_mol_capacity`` > 0 reserves dead copies of the (single) sorbate
+    template for uVT insertion headroom.  Returns (state, meta) where meta
+    maps species names to indices and keeps per-slot atomtype strings for
+    output writers.
+    """
+    atoms = list(atoms)
+    if not atoms:
+        raise ValueError("no atoms to build state from")
+
+    # group into molecules by molecule_id in file order
+    mols: list[list[AtomRecord]] = []
+    cur_id = None
+    for a in atoms:
+        if a.molecule_id != cur_id:
+            mols.append([])
+            cur_id = a.molecule_id
+        mols[-1].append(a)
+
+    # species registry
+    species = {}
+    for m in mols:
+        t = m[0].moleculetype
+        if t not in species:
+            species[t] = len(species)
+    if species_names:
+        for t in species_names:
+            if t not in species:
+                species[t] = len(species)
+
+    # insertion headroom: replicate the last movable (non-frozen) molecule
+    template = None
+    if extra_mol_capacity > 0:
+        cand = [m for m in mols
+                if not m[0].frozen and
+                (template_moleculetype is None or
+                 m[0].moleculetype == template_moleculetype)]
+        if not cand:
+            raise ValueError("no movable molecule to use as insertion template")
+        template = cand[-1]
+
+    all_mols = mols + [template] * extra_mol_capacity
+    n_live = len(mols)
+
+    A = sum(len(m) for m in all_mols)
+    M = len(all_mols)
+
+    f = lambda: np.zeros(A)
+    b = lambda: np.zeros(A, dtype=bool)
+    pos = np.zeros((A, 3))
+    arr = {k: f() for k in ("mass", "charge", "polarizability", "epsilon",
+                            "sigma", "omega", "gwp_alpha",
+                            "c6", "c8", "c10", "c9")}
+    flags = {k: b() for k in ("frozen", "adiabatic", "spectre", "target",
+                              "gwp_spin")}
+    mol_id = np.zeros(A, dtype=np.int32)
+    atomtypes = []
+
+    mol_flags = {k: np.zeros(M, dtype=bool)
+                 for k in ("mol_frozen", "mol_adiabatic", "mol_spectre",
+                           "mol_target")}
+    mol_mass = np.zeros(M)
+    mol_typ = np.zeros(M, dtype=np.int32)
+    mol_alive = np.zeros(M, dtype=bool)
+    rg = np.zeros(M)
+    ru = np.zeros(M)
+
+    i = 0
+    for mi, m in enumerate(all_mols):
+        mol_alive[mi] = mi < n_live
+        mol_flags["mol_frozen"][mi] = m[0].frozen
+        mol_flags["mol_adiabatic"][mi] = m[0].adiabatic
+        mol_flags["mol_spectre"][mi] = m[0].spectre
+        mol_flags["mol_target"][mi] = m[0].target
+        mol_typ[mi] = species[m[0].moleculetype]
+        if rot_partfunc and m[0].moleculetype in rot_partfunc:
+            rg[mi], ru[mi] = rot_partfunc[m[0].moleculetype]
+        for a in m:
+            pos[i] = (a.x, a.y, a.z)
+            arr["mass"][i] = a.mass
+            arr["charge"][i] = a.charge
+            arr["polarizability"][i] = a.polarizability
+            arr["epsilon"][i] = a.epsilon
+            arr["sigma"][i] = a.sigma
+            arr["omega"][i] = a.omega
+            arr["gwp_alpha"][i] = a.gwp_alpha
+            arr["c6"][i] = a.c6
+            arr["c8"][i] = a.c8
+            arr["c10"][i] = a.c10
+            arr["c9"][i] = a.c9
+            flags["frozen"][i] = a.frozen
+            flags["adiabatic"][i] = a.adiabatic
+            flags["spectre"][i] = a.spectre
+            flags["target"][i] = a.target
+            flags["gwp_spin"][i] = a.gwp_alpha != 0.0
+            mol_id[i] = mi
+            atomtypes.append(a.atomtype)
+            mol_mass[mi] += a.mass
+            i += 1
+
+    J = lambda x: jnp.asarray(x, dtype=dtype)
+    state = SystemState(
+        pos=J(pos),
+        charge=J(arr["charge"]),
+        nuclear_spin=jnp.zeros(M, dtype=jnp.int32),
+        mol_alive=jnp.asarray(mol_alive),
+        pbc=PBC.from_basis(J(np.asarray(basis, dtype=float))),
+        mu=jnp.zeros((A, 3), dtype=dtype),
+        mass=J(arr["mass"]),
+        polarizability=J(arr["polarizability"]),
+        epsilon=J(arr["epsilon"]),
+        sigma=J(arr["sigma"]),
+        omega=J(arr["omega"]),
+        gwp_alpha=J(arr["gwp_alpha"]),
+        c6=J(arr["c6"]),
+        c8=J(arr["c8"]),
+        c10=J(arr["c10"]),
+        c9=J(arr["c9"]),
+        frozen=jnp.asarray(flags["frozen"]),
+        adiabatic=jnp.asarray(flags["adiabatic"]),
+        spectre=jnp.asarray(flags["spectre"]),
+        target=jnp.asarray(flags["target"]),
+        gwp_spin=jnp.asarray(flags["gwp_spin"]),
+        mol_id=jnp.asarray(mol_id),
+        mol_frozen=jnp.asarray(mol_flags["mol_frozen"]),
+        mol_adiabatic=jnp.asarray(mol_flags["mol_adiabatic"]),
+        mol_spectre=jnp.asarray(mol_flags["mol_spectre"]),
+        mol_target=jnp.asarray(mol_flags["mol_target"]),
+        mol_mass=J(mol_mass),
+        mol_type=jnp.asarray(mol_typ),
+        rot_partfunc_g=J(rg),
+        rot_partfunc_u=J(ru),
+    )
+    meta = {
+        "species": species,
+        "atomtypes": atomtypes,
+        "moleculetypes": [m[0].moleculetype for m in all_mols],
+        "n_live_molecules": n_live,
+    }
+    return state, meta
