@@ -1,0 +1,313 @@
+"""Scan-driven Metropolis Markov chain.
+
+The reference's serial per-step loop (System::mc,
+src/System.MonteCarlo.cpp:20-134) becomes a jitted ``lax.scan`` over
+``corrtime`` steps: move selection via ``lax.switch``, accept/reject as a
+pytree select, RNG as threaded ``jax.random`` keys (replacing the twin
+mt19937 streams, src/Rando.h:3-15 + src/System.h:607-610).
+
+One compiled chunk per corrtime window; the host driver does the
+once-per-corrtime bookkeeping (averages, file output) between chunks,
+mirroring do_corrtime_bookkeeping (src/System.MonteCarlo.cpp:1902-2028).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..flags import FFlags, RunParams
+from ..ops.energy import EnergyBreakdown, energy_breakdown
+from ..state import Observables, SystemState
+from . import metropolis, moves
+
+
+@dataclasses.dataclass(frozen=True)
+class MCOptions:
+    """Static MC controls (hashable; part of the jit key)."""
+    ensemble: int = const.ENSEMBLE_NVT
+    move_factor: float = 1.0
+    rot_factor: float = 1.0
+    insert_probability: float = 0.0
+    spinflip_probability: float = 0.0
+    adiabatic_probability: float = 0.0
+    volume_probability: float = 0.0
+    volume_change_factor: float = 0.25
+    fugacity: float = 0.0          # atm (resolved: EoS/user/pressure)
+    sorbate_count: int = 1
+    quantum_rotation: bool = False
+    simulated_annealing: bool = False
+    simulated_annealing_linear: bool = False
+    simulated_annealing_schedule: float = 0.0
+    simulated_annealing_target: float = 0.0
+    numsteps: int = 0
+    cavity_bias: bool = False
+    cavity_grid_size: int = 0
+    cavity_radius: float = 0.0
+    spectre: bool = False
+    spectre_max_charge: float = 0.0
+    spectre_max_target: float = 0.0
+    rd_anharmonic: bool = False
+    gwp: bool = False
+    gwp_probability: float = 0.0
+
+
+class NodeStats(NamedTuple):
+    accept: jnp.ndarray            # [7] per-movetype accept counts
+    reject: jnp.ndarray            # [7]
+    boltzmann_factor: jnp.ndarray  # last BF
+
+
+class MCCarry(NamedTuple):
+    state: SystemState
+    obs: Observables
+    temperature: jnp.ndarray
+    key: jnp.ndarray
+    step: jnp.ndarray
+    stats: NodeStats
+    cavity: jnp.ndarray            # cavity grid open-fraction state [2]:
+                                   # (bias probability, cavity volume)
+
+
+class StepOut(NamedTuple):
+    boltzmann_factor: jnp.ndarray
+    accepted: jnp.ndarray
+    movetype: jnp.ndarray
+    polarization_iterations: jnp.ndarray
+
+
+def observables_from_breakdown(state: SystemState, eb: EnergyBreakdown,
+                               flags: FFlags, params: RunParams,
+                               ensemble: int) -> Observables:
+    """Mirror the observables updates inside System::energy()
+    (src/System.Energy.cpp:150-163)."""
+    N = state.count_N().astype(jnp.float64)
+    spin = state.spin_ratio_sum() / jnp.where(N == 0, 1.0, N)
+    obs = Observables(
+        energy=eb.total,
+        coulombic_energy=eb.coulombic,
+        rd_energy=eb.rd,
+        polarization_energy=eb.polarization,
+        vdw_energy=eb.vdw,
+        three_body_energy=eb.three_body,
+        dipole_rrms=eb.dipole_rrms,
+        kinetic_energy=eb.kinetic,
+        temperature=jnp.zeros(()),
+        volume=state.pbc.volume,
+        N=N,
+        NU=N * eb.total,
+        spin_ratio=spin,
+        frozen_mass=jnp.sum(jnp.where(
+            state.mol_alive & (state.mol_frozen | state.mol_adiabatic),
+            state.mol_mass, 0.0)),
+        total_mass=jnp.sum(jnp.where(state.mol_alive, state.mol_mass, 0.0)),
+    )
+    if ensemble == const.ENSEMBLE_NVE:
+        kin = params.total_energy - eb.total
+        obs = dataclasses.replace(
+            obs, kinetic_energy=kin,
+            temperature=(2.0 / 3.0) * kin / jnp.where(N == 0, 1.0, N))
+    return obs
+
+
+def _pick_movetype(opts: MCOptions, state: SystemState, key, N_movable,
+                   n_adiabatic):
+    """Move selection per ensemble (do_checkpoint,
+    src/System.MonteCarlo.cpp:318-454)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    r1 = jax.random.uniform(k1)
+    r2 = jax.random.uniform(k2)
+    r3 = jax.random.uniform(k3)
+    r4 = jax.random.uniform(k4)
+    ens = opts.ensemble
+
+    def spin_or_displace(r):
+        if opts.quantum_rotation:
+            return jnp.where(r < opts.spinflip_probability,
+                             const.MOVETYPE_SPINFLIP, const.MOVETYPE_DISPLACE)
+        return jnp.asarray(const.MOVETYPE_DISPLACE)
+
+    def displace_or_adiabatic(r):
+        return jnp.where((n_adiabatic > 0) & (r < 0.5),
+                         const.MOVETYPE_ADIABATIC, const.MOVETYPE_DISPLACE)
+
+    if ens == const.ENSEMBLE_UVT:
+        mv = jnp.where(
+            r1 < opts.insert_probability,
+            jnp.where(r2 < 0.5, const.MOVETYPE_INSERT, const.MOVETYPE_REMOVE),
+            jnp.where(opts.quantum_rotation & (r3 < opts.spinflip_probability),
+                      const.MOVETYPE_SPINFLIP, displace_or_adiabatic(r4)))
+        # never remove the last molecule (src/System.MonteCarlo.cpp:449-454)
+        mv = jnp.where((mv == const.MOVETYPE_REMOVE) & (N_movable <= 1),
+                       spin_or_displace(r3), mv)
+        return mv
+    if ens in (const.ENSEMBLE_NVT, const.ENSEMBLE_NVE):
+        return spin_or_displace(r1)
+    if ens == const.ENSEMBLE_NPT:
+        if opts.volume_probability == 0.0:
+            return jnp.where(r1 < 1.0 / jnp.maximum(N_movable, 1),
+                             const.MOVETYPE_VOLUME, const.MOVETYPE_DISPLACE)
+        return jnp.where(r1 < opts.volume_probability,
+                         const.MOVETYPE_VOLUME, const.MOVETYPE_DISPLACE)
+    raise ValueError(f"unsupported ensemble for single-chain mc: {ens}")
+
+
+def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
+    """Build the per-step transition function for lax.scan."""
+
+    def apply_move(state: SystemState, key, movetype, target):
+        k1, = jax.random.split(key, 1)
+
+        def do_displace(s):
+            if opts.rd_anharmonic:
+                return moves.displace_1d(s, k1, target, opts.move_factor), \
+                    jnp.asarray(True)
+            if opts.spectre:
+                return moves.spectre_displace(
+                    s, k1, target, opts.move_factor,
+                    opts.spectre_max_charge, opts.spectre_max_target), \
+                    jnp.asarray(True)
+            return moves.displace(s, k1, target, opts.move_factor,
+                                  opts.rot_factor), jnp.asarray(True)
+
+        def do_adiabatic(s):
+            return moves.displace(s, k1, target, opts.adiabatic_probability,
+                                  1.0), jnp.asarray(True)
+
+        def do_insert(s):
+            species = s.mol_type[target]
+            slot = moves.find_dead_slot(s, species)
+            return moves.insert(s, k1, target, slot)
+
+        def do_remove(s):
+            return moves.remove(s, target), jnp.asarray(True)
+
+        def do_spinflip(s):
+            return moves.spinflip(s, target), jnp.asarray(True)
+
+        def do_volume(s):
+            return moves.volume_change(s, k1, opts.volume_change_factor), \
+                jnp.asarray(True)
+
+        branches = [do_insert, do_remove, do_displace, do_adiabatic,
+                    do_spinflip, do_volume]
+        return jax.lax.switch(movetype, branches, state)
+
+    def step(carry: MCCarry, _):
+        key, k_move, k_target, k_apply, k_acc = jax.random.split(carry.key, 5)
+        state = carry.state
+        params = dataclasses.replace(base_params,
+                                     temperature=carry.temperature)
+
+        target, N_movable = moves.pick_random_movable(state, k_target)
+        n_adiabatic = jnp.sum(state.mol_alive & state.mol_adiabatic)
+        movetype = _pick_movetype(opts, state, k_move, N_movable, n_adiabatic)
+
+        new_state, valid = apply_move(state, k_apply, movetype, target)
+        v_old = state.pbc.volume
+
+        eb = energy_breakdown(new_state, flags, params)
+        final_energy = eb.total + eb.cavity_penalty
+        obs_after = observables_from_breakdown(new_state, eb, flags, params,
+                                               opts.ensemble)
+
+        initial_energy = carry.obs.energy
+        delta = final_energy - initial_energy
+        finite = jnp.isfinite(final_energy)
+
+        # spin partition-function ratio for SPINFLIP factors
+        pr = metropolis.spin_partfunc_ratio(
+            new_state.nuclear_spin[target],
+            state.rot_partfunc_g[target], state.rot_partfunc_u[target])
+
+        T = carry.temperature
+        if opts.ensemble == const.ENSEMBLE_UVT:
+            bf = metropolis.uvt_factor(
+                movetype, delta, T, state.pbc.volume, opts.fugacity,
+                obs_after.N, float(opts.sorbate_count),
+                jnp.asarray(False), carry.cavity[1], carry.cavity[0], pr)
+        elif opts.ensemble == const.ENSEMBLE_NPT:
+            bf = metropolis.npt_factor(movetype, delta, T,
+                                       base_params.pressure, v_old,
+                                       new_state.pbc.volume, obs_after.N)
+        elif opts.ensemble == const.ENSEMBLE_NVE:
+            bf = metropolis.nve_factor(base_params.total_energy,
+                                       initial_energy, final_energy,
+                                       obs_after.N)
+        else:
+            bf = metropolis.nvt_factor(movetype, delta, T, pr)
+
+        bf = jnp.where(finite & valid, bf, 0.0)
+        accept = (jax.random.uniform(k_acc) < bf) & ~eb.iterator_failed
+
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), a, b)
+        state_out = sel(new_state, state)
+        obs_out = sel(obs_after, carry.obs)
+
+        # simulated annealing on accept (src/System.MonteCarlo.cpp:74-85)
+        if opts.simulated_annealing:
+            tgt = opts.simulated_annealing_target
+            if opts.simulated_annealing_linear:
+                remaining = jnp.maximum(opts.numsteps - carry.step - 1, 0)
+                T_new = jnp.where(remaining == 0, tgt,
+                                  T + (tgt - T) / jnp.maximum(remaining, 1))
+            else:
+                T_new = tgt + (T - tgt) * opts.simulated_annealing_schedule
+            T_out = jnp.where(accept, T_new, T)
+        else:
+            T_out = T
+
+        onehot = jax.nn.one_hot(movetype, 7, dtype=jnp.int64)
+        stats = NodeStats(
+            accept=carry.stats.accept + jnp.where(accept, onehot, 0),
+            reject=carry.stats.reject + jnp.where(accept, 0, onehot),
+            boltzmann_factor=bf,
+        )
+
+        out = StepOut(boltzmann_factor=bf, accepted=accept,
+                      movetype=movetype,
+                      polarization_iterations=eb.polarization_iterations)
+        return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
+                       stats, carry.cavity), out
+
+    return step
+
+
+def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
+                      chunk_steps: int):
+    """Jitted corrtime-chunk: scan `chunk_steps` MC steps."""
+    step = make_step_fn(flags, params, opts)
+
+    @jax.jit
+    def run_chunk(carry: MCCarry):
+        return jax.lax.scan(step, carry, None, length=chunk_steps)
+
+    return run_chunk
+
+
+def init_carry(state: SystemState, flags: FFlags, params: RunParams,
+               opts: MCOptions, seed: int) -> MCCarry:
+    """Initial energy + carry (mc_initial_energy,
+    src/System.MonteCarlo.cpp:158-173)."""
+    eb = energy_breakdown(state, flags, params)
+    obs = observables_from_breakdown(state, eb, flags, params, opts.ensemble)
+    obs = dataclasses.replace(
+        obs, energy=jnp.where(jnp.isfinite(obs.energy), obs.energy,
+                              const.MAXVALUE))
+    stats = NodeStats(accept=jnp.zeros(7, jnp.int64),
+                      reject=jnp.zeros(7, jnp.int64),
+                      boltzmann_factor=jnp.zeros(()))
+    return MCCarry(
+        state=state, obs=obs,
+        temperature=jnp.asarray(params.temperature, jnp.float64),
+        key=jax.random.PRNGKey(seed),
+        step=jnp.zeros((), jnp.int64),
+        stats=stats,
+        cavity=jnp.zeros(2),
+    )

@@ -1,0 +1,208 @@
+"""Monte Carlo trial moves as pure state transforms.
+
+Replaces make_move/checkpoint/restore (src/System.MonteCarlo.cpp:252-900,
+1510-1727): instead of mutate-undo on linked lists, each move builds a new
+SystemState; accept/reject selects between old and new pytrees.
+
+Molecule targeting uses masks over the fixed molecule-slot axis; uVT
+insertion/removal flips ``mol_alive`` on reserved template slots (the
+insertion-list machinery of the reference is vestigial there —
+src/System.cpp:480-489 is commented out — single-sorbate behavior is
+preserved).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from .. import quaternion as quat
+from ..state import SystemState
+
+
+class MoveProposal(NamedTuple):
+    state: SystemState
+    movetype: jnp.ndarray      # int32
+    target_mol: jnp.ndarray    # int32 molecule slot acted on
+    biased_move: jnp.ndarray   # bool (cavity-biased insertion)
+    volume_old: jnp.ndarray    # for NPT factor
+    valid: jnp.ndarray         # bool: move was applicable (e.g. slot free)
+
+
+def movable_mask(state: SystemState):
+    return state.mol_alive & ~(state.mol_frozen | state.mol_adiabatic |
+                               state.mol_target)
+
+
+def pick_kth_true(mask, k):
+    """Index of the k-th True in mask (k in [0, count))."""
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    return jnp.argmax(cum == (k + 1))
+
+
+def pick_random_movable(state: SystemState, key):
+    mask = movable_mask(state)
+    n = jnp.sum(mask)
+    u = jax.random.uniform(key)
+    k = jnp.floor(u * n).astype(jnp.int32)
+    k = jnp.clip(k, 0, jnp.maximum(n - 1, 0))
+    return pick_kth_true(mask, k), n
+
+
+def _atoms_of(state: SystemState, mol):
+    return state.mol_id == mol
+
+
+def displace(state: SystemState, key, mol, move_factor, rot_factor
+             ) -> SystemState:
+    """Random translation + quaternion rotation of one molecule
+    (src/System.MonteCarlo.cpp:1226-1230, src/Molecule.cpp:128-206,286-321).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    dice = jax.random.uniform(k1, (6,))
+    trans = move_factor * dice[:3] * state.pbc.cutoff
+    trans = jnp.where(dice[3:] < 0.5, -trans, trans)
+
+    axis = jax.random.normal(k2, (3,))
+    angle_deg = jax.random.uniform(k3) * 360.0 * rot_factor
+    q = quat.from_axis_angle_deg(axis, angle_deg)
+
+    sel = _atoms_of(state, mol)[:, None]
+    com = state.mol_com()[mol]
+    rel = state.pos - com
+    rotated = quat.rotate(q, rel) + com + trans
+    return state.replace(pos=jnp.where(sel, rotated, state.pos))
+
+
+def displace_1d(state: SystemState, key, mol, move_factor) -> SystemState:
+    """1-D anharmonic displacement (src/System.MonteCarlo.cpp:1134-1147)."""
+    k1, k2 = jax.random.split(key)
+    trans = move_factor * jax.random.uniform(k1)
+    trans = jnp.where(jax.random.uniform(k2) < 0.5, -trans, trans)
+    sel = _atoms_of(state, mol)
+    pos = state.pos.at[:, 0].add(jnp.where(sel, trans, 0.0))
+    return state.replace(pos=pos)
+
+
+def spinflip(state: SystemState, mol) -> SystemState:
+    """(src/System.MonteCarlo.cpp:883-891)"""
+    cur = state.nuclear_spin[mol]
+    new = jnp.where(cur == const.NUCLEAR_SPIN_PARA,
+                    const.NUCLEAR_SPIN_ORTHO, const.NUCLEAR_SPIN_PARA)
+    return state.replace(nuclear_spin=state.nuclear_spin.at[mol].set(new))
+
+
+def random_cell_position(state: SystemState, key):
+    """Uniform position in the (centered) unit cell
+    (src/System.MonteCarlo.cpp:766-775)."""
+    frac = 0.5 - jax.random.uniform(key, (3,))
+    return frac @ state.pbc.basis
+
+
+def insert(state: SystemState, key, template_mol, dead_slot, com=None
+           ) -> tuple[SystemState, jnp.ndarray]:
+    """Insert a copy of ``template_mol``'s geometry at a random position and
+    orientation into ``dead_slot`` (src/System.MonteCarlo.cpp:740-833).
+
+    Returns (new_state, valid).  If no dead slot is available the state is
+    returned unchanged with valid=False (capacity exhausted).
+    """
+    k_pos, k_axis, k_ang = jax.random.split(key, 3)
+    valid = dead_slot >= 0
+    slot = jnp.maximum(dead_slot, 0)
+
+    new_com = random_cell_position(state, k_pos) if com is None else com
+
+    # source geometry: the template molecule's atoms, gathered into the
+    # slot's atom positions by intra-molecule atom ordering.  Slots cloned
+    # from the template at build time have identical atom layout, so the
+    # i-th atom of the slot corresponds to the i-th atom of the template.
+    A = state.n_atom_slots
+    arange = jnp.arange(A)
+    tmpl_sel = state.mol_id == template_mol
+    slot_sel = state.mol_id == slot
+    # position of each atom within its molecule
+    intra = arange - jnp.min(jnp.where(slot_sel, arange, A))
+    tmpl_start = jnp.min(jnp.where(tmpl_sel, arange, A))
+    src_idx = jnp.clip(tmpl_start + intra, 0, A - 1)
+
+    tmpl_com = state.mol_com()[template_mol]
+    rel = state.pos[src_idx] - tmpl_com
+
+    axis = jax.random.normal(k_axis, (3,))
+    angle_deg = jax.random.uniform(k_ang) * 360.0
+    q = quat.from_axis_angle_deg(axis, angle_deg)
+    newpos = quat.rotate(q, rel) + new_com
+
+    pos = jnp.where((slot_sel & valid)[:, None], newpos, state.pos)
+    alive = state.mol_alive.at[slot].set(
+        jnp.where(valid, True, state.mol_alive[slot]))
+    spin = state.nuclear_spin.at[slot].set(
+        jnp.where(valid, state.nuclear_spin[template_mol],
+                  state.nuclear_spin[slot]))
+    return state.replace(pos=pos, mol_alive=alive, nuclear_spin=spin), valid
+
+
+def find_dead_slot(state: SystemState, species):
+    """First dead molecule slot of the given species, or -1."""
+    dead = ~state.mol_alive & (state.mol_type == species) & \
+        ~(state.mol_frozen | state.mol_adiabatic | state.mol_target)
+    any_dead = jnp.any(dead)
+    idx = jnp.argmax(dead)
+    return jnp.where(any_dead, idx, -1)
+
+
+def remove(state: SystemState, mol) -> SystemState:
+    """(src/System.MonteCarlo.cpp:836-859)"""
+    return state.replace(mol_alive=state.mol_alive.at[mol].set(False))
+
+
+def volume_change(state: SystemState, key, volume_change_factor
+                  ) -> SystemState:
+    """Log-uniform volume move: scale basis, rescale molecule COMs rigidly
+    (src/System.MonteCarlo.cpp:1235-1282)."""
+    log_new = jnp.log(state.pbc.volume) + \
+        (jax.random.uniform(key) - 0.5) * volume_change_factor
+    new_volume = jnp.exp(log_new)
+    factor = (new_volume / state.pbc.volume) ** (1.0 / 3.0)
+    com = state.mol_com()
+    delta = com * (factor - 1.0)
+    pos = state.pos + delta[state.mol_id]
+    return state.replace(pos=pos, pbc=state.pbc.scale(factor))
+
+
+def spectre_displace(state: SystemState, key, mol, move_factor,
+                     max_charge, max_target) -> SystemState:
+    """SPECTRE move: random translation + charge perturbation +
+    renormalisation (src/System.MonteCarlo.cpp:1152-1221).
+
+    The reference redraws each charge delta until |q+dq| <= max_charge; here
+    the delta is clipped into the allowed interval (equivalent support,
+    different sampling density at the boundary - documented deviation).
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    dice = jax.random.uniform(k1, (6,))
+    trans = move_factor * dice[:3] * max_target
+    trans = jnp.where(dice[3:] < 0.5, -trans, trans)
+    sel = _atoms_of(state, mol)
+    pos = state.pos + jnp.where(sel[:, None], trans[None, :], 0.0)
+
+    dq = jax.random.uniform(k2, (state.n_atom_slots,)) * \
+        jnp.where(jax.random.uniform(k3, (state.n_atom_slots,)) < 0.5, -1.0, 1.0)
+    q = state.charge + jnp.where(sel & state.spectre, dq, 0.0)
+    q = jnp.clip(q, -max_charge, max_charge)
+    charge = spectre_renormalize(state, q)
+    return state.replace(pos=pos, charge=charge)
+
+
+def spectre_renormalize(state: SystemState, charge):
+    """Spread residual charge over SPECTRE sites
+    (src/System.MonteCarlo.cpp:1193-1221)."""
+    sp = state.spectre & state.atom_alive()
+    nsp = jnp.sum(sp)
+    residual = jnp.sum(jnp.where(sp, charge, 0.0))
+    frac = -residual / jnp.where(nsp == 0, 1.0, nsp)
+    return jnp.where(sp, charge + frac, charge)

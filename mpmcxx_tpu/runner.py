@@ -1,0 +1,219 @@
+"""Simulation controller: config -> state -> Markov chain -> outputs.
+
+The front-end role of SimulationControl (src/SimulationControl.cpp:37-129,
+runSimulation :2853-2971): parse + validate input, build the system, run the
+selected ensemble loop, and do per-corrtime bookkeeping (averages, energy
+log, restart/trajectory files), matching the reference's file contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import jax
+import numpy as np
+
+from . import constants as const
+from .config.parser import read_config
+from .config.schema import SimConfig
+from .config.validate import validate
+from .io import output as out_io
+from .io import pqr as pqr_io
+from .mc import chain as chain_mod
+from .mc.averages import AvgObservables, nodestats_from_counters
+from .state import SystemState, build_state
+
+
+def _obs_to_dict(obs) -> dict:
+    return {f.name: float(getattr(obs, f.name))
+            for f in dataclasses.fields(obs)}
+
+
+class Simulation:
+    """One standard-ensemble run (NVT / uVT / NPT / NVE)."""
+
+    def __init__(self, cfg: SimConfig, quiet: bool = False,
+                 uvt_capacity_factor: float = 2.0):
+        self.cfg = validate(cfg)
+        self.quiet = quiet
+        self.out = sys.stdout
+
+        atoms = pqr_io.read_pqr(
+            cfg.pqr_input, scale_charge=cfg.scale_charge,
+            cdvdw_sig_repulsion=cfg.cdvdw_sig_repulsion,
+            polarvdw=cfg.polarvdw,
+            cdvdw_exp_repulsion=cfg.cdvdw_exp_repulsion)
+
+        basis = self._resolve_basis(cfg)
+        extra = 0
+        if cfg.ensemble == const.ENSEMBLE_UVT:
+            n_mov = len({a.molecule_id for a in atoms if not a.frozen})
+            extra = max(int(n_mov * (uvt_capacity_factor - 1.0)), 32)
+
+        self.state, self.meta = build_state(
+            atoms, basis, extra_mol_capacity=extra)
+
+        # ewald alpha defaults to 3.5/cutoff unless user-set
+        # (src/System.cpp:871-874)
+        cutoff = float(self.state.pbc.cutoff)
+        if not cfg.ewald_alpha_set:
+            cfg.ewald_alpha = 3.5 / cutoff
+        if not cfg.polar_ewald_alpha_set:
+            cfg.polar_ewald_alpha = 3.5 / cutoff
+
+        self.flags = cfg.to_flags()
+        self.params = cfg.to_params()
+
+        fug = cfg.fugacities[0] if cfg.fugacities else cfg.pressure
+        self.opts = chain_mod.MCOptions(
+            ensemble=cfg.ensemble,
+            move_factor=cfg.move_factor,
+            rot_factor=cfg.rot_factor,
+            insert_probability=cfg.insert_probability,
+            spinflip_probability=cfg.spinflip_probability,
+            adiabatic_probability=cfg.adiabatic_probability,
+            volume_probability=cfg.volume_probability,
+            volume_change_factor=cfg.volume_change_factor,
+            fugacity=fug,
+            sorbate_count=1,
+            quantum_rotation=cfg.quantum_rotation,
+            simulated_annealing=cfg.simulated_annealing,
+            simulated_annealing_linear=cfg.simulated_annealing_linear,
+            simulated_annealing_schedule=cfg.simulated_annealing_schedule,
+            simulated_annealing_target=cfg.simulated_annealing_target,
+            numsteps=cfg.numsteps,
+            spectre=cfg.spectre,
+            spectre_max_charge=cfg.spectre_max_charge,
+            spectre_max_target=cfg.spectre_max_target,
+            rd_anharmonic=cfg.rd_anharmonic,
+            gwp=cfg.gwp,
+            gwp_probability=cfg.gwp_probability,
+        )
+
+        self.avg = AvgObservables()
+        seed = cfg.preset_seed if cfg.preset_seed_on else 0
+        self.carry = chain_mod.init_carry(self.state, self.flags, self.params,
+                                          self.opts, seed)
+        self.run_chunk = chain_mod.make_chunk_runner(
+            self.flags, self.params, self.opts, cfg.corrtime)
+
+    @staticmethod
+    def _resolve_basis(cfg: SimConfig) -> np.ndarray:
+        basis = np.zeros((3, 3))
+        if cfg.basis1 and cfg.basis2 and cfg.basis3:
+            basis[0] = cfg.basis1
+            basis[1] = cfg.basis2
+            basis[2] = cfg.basis3
+        if cfg.read_pqr_box:
+            b = pqr_io.read_pqr_box(cfg.pqr_input)
+            if b is not None:
+                basis = b
+        if np.linalg.det(basis) <= 0:
+            raise ValueError("invalid simulation box dimensions")
+        return basis
+
+    def _particle_mass(self) -> float:
+        mm = np.asarray(self.state.mol_mass)
+        mov = np.asarray(self.state.mol_alive) & \
+            ~np.asarray(self.state.mol_frozen) & \
+            ~np.asarray(self.state.mol_adiabatic)
+        idx = np.nonzero(mov)[0]
+        return float(mm[idx[0]]) if len(idx) else 0.0
+
+    def _corrtime_io(self, step: int):
+        obs = _obs_to_dict(self.carry.obs)
+        T = float(self.carry.temperature)
+        self.avg.update(obs, ensemble=self.cfg.ensemble,
+                        temperature=self.cfg.temperature,
+                        volume=float(self.carry.state.pbc.volume),
+                        particle_mass=self._particle_mass(),
+                        free_volume=self.cfg.free_volume,
+                        fugacity=(self.cfg.fugacities[0]
+                                  if self.cfg.fugacities else None),
+                        pressure=self.cfg.pressure)
+        if self.fp_energy:
+            out_io.write_observables(self.fp_energy, step, obs, T)
+        if self.fp_energy_csv:
+            out_io.write_observables(self.fp_energy_csv, step, obs, T,
+                                     csv=True)
+
+    def run(self) -> AvgObservables:
+        cfg = self.cfg
+        self.fp_energy = None
+        self.fp_energy_csv = None
+        if cfg.energy_output and cfg.energy_output != "/dev/null":
+            self.fp_energy = out_io.open_energy_file(cfg.energy_output)
+        if cfg.energy_output_csv and cfg.energy_output_csv != "/dev/null":
+            self.fp_energy_csv = out_io.open_energy_file(
+                cfg.energy_output_csv, csv=True)
+
+        perf = out_io.PerformanceTimer(cfg.numsteps)
+
+        # initial-state output (setup_mpi, src/System.MonteCarlo.cpp:178-206)
+        self._corrtime_io(0)
+        if not self.quiet:
+            self.out.write("MC: initial values:\n")
+            self._display()
+
+        step = 0
+        accept_prev = np.zeros(7, dtype=np.int64)
+        reject_prev = np.zeros(7, dtype=np.int64)
+        while step < cfg.numsteps:
+            n = min(cfg.corrtime, cfg.numsteps - step)
+            if n != cfg.corrtime:
+                runner = chain_mod.make_chunk_runner(
+                    self.flags, self.params, self.opts, n)
+            else:
+                runner = self.run_chunk
+            self.carry, stats = runner(self.carry)
+            step += n
+
+            acc = np.asarray(self.carry.stats.accept)
+            rej = np.asarray(self.carry.stats.reject)
+            ns = nodestats_from_counters(
+                acc, rej, float(self.carry.stats.boltzmann_factor),
+                polarization_iterations=float(
+                    np.asarray(stats.polarization_iterations)[-1]))
+            self.avg.update_nodestats(ns)
+            accept_prev, reject_prev = acc, rej
+
+            self._corrtime_io(step)
+            if cfg.pqr_restart != "/dev/null":
+                pqr_io.write_state_pqr(cfg.pqr_restart, self.carry.state,
+                                       self.meta, wrapall=cfg.wrapall,
+                                       long_output=cfg.long_output)
+            if not self.quiet:
+                perf.report(step, self.out)
+                self._display()
+
+        if cfg.pqr_output != "/dev/null":
+            pqr_io.write_state_pqr(cfg.pqr_output, self.carry.state,
+                                   self.meta, wrapall=cfg.wrapall,
+                                   long_output=cfg.long_output)
+        if self.fp_energy:
+            self.fp_energy.close()
+        if self.fp_energy_csv:
+            self.fp_energy_csv.close()
+        return self.avg
+
+    def _display(self):
+        out_io.display_averages(
+            self.avg, temperature=float(self.carry.temperature),
+            simulated_annealing=self.cfg.simulated_annealing,
+            gwp=self.cfg.gwp, ensemble=self.cfg.ensemble,
+            polar_rrms=self.cfg.polar_rrms, out=self.out)
+
+
+def run_input_file(path: str, quiet: bool = False):
+    cfg = read_config(path)
+    if cfg.ensemble == const.ENSEMBLE_PATH_INTEGRAL_NVT:
+        from .mc.pi import PISimulation
+        sim = PISimulation(cfg, quiet=quiet)
+    elif cfg.ensemble == const.ENSEMBLE_NVT_GIBBS:
+        from .mc.gibbs import GibbsSimulation
+        sim = GibbsSimulation(cfg, quiet=quiet)
+    else:
+        sim = Simulation(cfg, quiet=quiet)
+    return sim.run()

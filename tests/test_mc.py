@@ -1,0 +1,203 @@
+"""MC chain and PI ensemble tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import FFlags, RunParams, constants as const
+from mpmcxx_tpu.config.parser import parse_config
+from mpmcxx_tpu.mc import chain as chain_mod
+from mpmcxx_tpu.mc import moves
+from mpmcxx_tpu.mc import pi as pi_mod
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+SAMPLE = "/root/reference/sample-input/pi000-free-argon-2K"
+
+
+def argon_state(n=8, L=20.0, extra=0):
+    atoms = []
+    g = int(np.ceil(n ** (1 / 3)))
+    s = L / g
+    m = 0
+    for i in range(g):
+        for j in range(g):
+            for k in range(g):
+                if m < n:
+                    m += 1
+                    atoms.append(AtomRecord(
+                        "Ar", "Ar", m, x=(i + .5) * s - L / 2,
+                        y=(j + .5) * s - L / 2, z=(k + .5) * s - L / 2,
+                        mass=39.948, epsilon=119.8, sigma=3.405))
+    return build_state(atoms, np.eye(3) * L, extra_mol_capacity=extra)
+
+
+class TestMoves:
+    def test_displace_moves_one_molecule(self):
+        state, _ = argon_state(4)
+        key = jax.random.PRNGKey(0)
+        new = moves.displace(state, key, jnp.asarray(1), 0.1, 1.0)
+        diff = np.abs(np.asarray(new.pos - state.pos)).sum(axis=1)
+        assert diff[1] > 0
+        assert diff[0] == 0 and diff[2] == 0 and diff[3] == 0
+
+    def test_insert_remove_roundtrip(self):
+        state, _ = argon_state(4, extra=4)
+        assert int(state.count_N()) == 4
+        key = jax.random.PRNGKey(1)
+        slot = moves.find_dead_slot(state, state.mol_type[0])
+        assert int(slot) >= 4
+        inserted, valid = moves.insert(state, key, jnp.asarray(0), slot)
+        assert bool(valid)
+        assert int(inserted.count_N()) == 5
+        removed = moves.remove(inserted, slot)
+        assert int(removed.count_N()) == 4
+
+    def test_volume_change_scales(self):
+        state, _ = argon_state(4)
+        new = moves.volume_change(state, jax.random.PRNGKey(2), 0.2)
+        f = float(new.pbc.volume / state.pbc.volume) ** (1 / 3)
+        np.testing.assert_allclose(np.asarray(new.pbc.basis),
+                                   np.asarray(state.pbc.basis) * f)
+        # COM scaled, intramolecular geometry preserved (single atoms here)
+        np.testing.assert_allclose(np.asarray(new.pos),
+                                   np.asarray(state.pos) * f, rtol=1e-12)
+
+
+class TestNVTChain:
+    def test_short_chain_runs_and_accepts(self):
+        state, _ = argon_state(8)
+        flags = FFlags()
+        params = RunParams(temperature=120.0)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVT,
+                                   move_factor=0.05, numsteps=50)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=3)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 50)
+        carry, out = runner(carry)
+        assert np.isfinite(float(carry.obs.energy))
+        n_acc = int(np.asarray(carry.stats.accept).sum())
+        n_rej = int(np.asarray(carry.stats.reject).sum())
+        assert n_acc + n_rej == 50
+        assert n_acc > 0
+
+    def test_uvt_changes_n(self):
+        state, _ = argon_state(6, extra=12)
+        flags = FFlags()
+        params = RunParams(temperature=150.0, pressure=10.0)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_UVT,
+                                   move_factor=0.1, insert_probability=0.5,
+                                   fugacity=10.0, numsteps=100)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=4)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 100)
+        carry, out = runner(carry)
+        acc = np.asarray(carry.stats.accept)
+        assert acc[const.MOVETYPE_INSERT] + acc[const.MOVETYPE_REMOVE] > 0
+        assert int(carry.obs.N) == int(carry.state.count_N())
+
+    def test_npt_changes_volume(self):
+        state, _ = argon_state(8)
+        flags = FFlags()
+        params = RunParams(temperature=150.0, pressure=50.0)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NPT,
+                                   move_factor=0.05, volume_probability=0.5,
+                                   volume_change_factor=0.05, numsteps=60)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=5)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 60)
+        carry, _ = runner(carry)
+        acc = np.asarray(carry.stats.accept)
+        assert acc[const.MOVETYPE_VOLUME] > 0
+        assert float(carry.state.pbc.volume) != pytest.approx(8000.0)
+
+
+class TestPI:
+    def _stack(self, P=4):
+        from mpmcxx_tpu.io import pqr
+        atoms = pqr.read_pqr(os.path.join(SAMPLE, "Ar.pqr"))
+        states = []
+        for s in range(P):
+            st, meta = build_state(atoms, np.eye(3) * 100.0)
+            states.append(st)
+        return pi_mod.stack_states(states), meta
+
+    def test_identical_beads_kinetic_is_equipartition(self):
+        # zero chain length -> estimator = 1.5 * N * T * P
+        stack, _ = self._stack(P=4)
+        kin = float(pi_mod.pi_kinetic(stack, 2.0))
+        assert kin == pytest.approx(1.5 * 2 * 2.0 * 4, rel=1e-12)
+
+    def test_golden_restart_kinetic(self):
+        # committed reference restart beads (P=4 files): estimator must be
+        # term1 - positive chain term, < equipartition
+        from mpmcxx_tpu.io import pqr
+        states = []
+        for s in range(4):
+            atoms = pqr.read_pqr(
+                os.path.join(SAMPLE, f"Ar2K.restart-000{s}.pqr"))
+            st, _ = build_state(atoms, np.eye(3) * 100.0)
+            states.append(st)
+        stack = pi_mod.stack_states(states)
+        kin = float(pi_mod.pi_kinetic(stack, 2.0))
+        term1 = 1.5 * 2 * 2.0 * 4
+        assert kin < term1
+        assert np.isfinite(kin)
+
+    def test_coker_staging_preserves_com(self):
+        key = jax.random.PRNGKey(7)
+        coms = jax.random.normal(key, (8, 3)) * 0.3
+        new = pi_mod.coker_stage_coms(coms, key, 4, 2, 39.948, 2.0, 8)
+        np.testing.assert_allclose(np.asarray(jnp.mean(new, axis=0)),
+                                   np.asarray(jnp.mean(coms, axis=0)),
+                                   atol=1e-12)
+        # exactly n=4 beads moved; unmoved beads (incl. the anchor at
+        # starter=2) share the uniform COM-preserving shift
+        delta = np.asarray(new - coms)
+        shift = delta[2]  # anchor bead never staged
+        moved = np.abs(delta - shift).sum(axis=1) > 1e-10
+        assert moved.sum() == 4
+
+    def test_orientation_schedule_covers_all_beads(self):
+        for P in (4, 8, 16):
+            sched = pi_mod._orientation_schedule(P)
+            placed = {0} | {J for (_, J, _, _) in sched}
+            assert placed == set(range(P))
+
+    def test_sampled_orientations_unit(self):
+        o = pi_mod.sample_orientations(jax.random.PRNGKey(0), 8,
+                                       0.742e-10, 8.368618e-28, 10.0)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(o), axis=1),
+                                   1.0, rtol=1e-9)
+
+    def test_pi_displace_rigid(self):
+        stack, _ = self._stack(P=4)
+        new = pi_mod.pi_displace(stack, jax.random.PRNGKey(1),
+                                 jnp.asarray(0), 0.1, 1.0)
+        # molecule 1 untouched in all beads
+        np.testing.assert_allclose(np.asarray(new.pos[:, 1]),
+                                   np.asarray(stack.pos[:, 1]))
+        # chain geometry of molecule 0 preserved (rigid move):
+        # inter-bead distances unchanged
+        d_old = np.asarray(stack.pos[0, 0] - stack.pos[1, 0])
+        d_new = np.asarray(new.pos[0, 0] - new.pos[1, 0])
+        np.testing.assert_allclose(np.linalg.norm(d_new),
+                                   np.linalg.norm(d_old), atol=1e-9)
+
+
+class TestEndToEnd:
+    def test_pi000_sample_runs(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import shutil
+        shutil.copy(os.path.join(SAMPLE, "Ar.pqr"), "Ar.pqr")
+        text = open(os.path.join(SAMPLE, "equilibrate.in")).read()
+        text = text.replace("numsteps                       10000",
+                            "numsteps 30")
+        open("run.in", "w").write(text)
+        from mpmcxx_tpu.cli import main
+        assert main(["-P", "8", "--quiet", "run.in"]) == 0
+        lines = open("Ar2K.energy.dat").read().splitlines()
+        assert lines[0].startswith("#step #energy")
+        assert len(lines) >= 2
+        # per-bead restart files written
+        for s in range(8):
+            assert os.path.exists(f"Ar2K.restart-000{s}.pqr")
