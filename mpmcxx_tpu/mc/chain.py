@@ -24,6 +24,7 @@ from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..ops.energy import EnergyBreakdown, energy_breakdown
 from ..state import Observables, SystemState
+from . import cavity as cavity_mod
 from . import metropolis, moves
 
 
@@ -160,7 +161,8 @@ def _pick_movetype(opts: MCOptions, state: SystemState, key, N_movable,
 def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
     """Build the per-step transition function for lax.scan."""
 
-    def apply_move(state: SystemState, key, movetype, target):
+    def apply_move(state: SystemState, key, movetype, target,
+                   insert_com=None):
         k1, = jax.random.split(key, 1)
 
         def do_displace(s):
@@ -182,7 +184,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
         def do_insert(s):
             species = s.mol_type[target]
             slot = moves.find_dead_slot(s, species)
-            return moves.insert(s, k1, target, slot)
+            return moves.insert(s, k1, target, slot, com=insert_com)
 
         def do_remove(s):
             return moves.remove(s, target), jnp.asarray(True)
@@ -199,7 +201,8 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
         return jax.lax.switch(movetype, branches, state)
 
     def step(carry: MCCarry, _):
-        key, k_move, k_target, k_apply, k_acc = jax.random.split(carry.key, 5)
+        key, k_move, k_target, k_apply, k_acc, k_cav = \
+            jax.random.split(carry.key, 6)
         state = carry.state
         params = dataclasses.replace(base_params,
                                      temperature=carry.temperature)
@@ -208,7 +211,36 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
         n_adiabatic = jnp.sum(state.mol_alive & state.mol_adiabatic)
         movetype = _pick_movetype(opts, state, k_move, N_movable, n_adiabatic)
 
-        new_state, valid = apply_move(state, k_apply, movetype, target)
+        # cavity-biased insertion machinery (src/System.Cavity.cpp;
+        # src/System.MonteCarlo.cpp:731-764,838-843).  The grid is rebuilt
+        # before every move as in the reference; carry.cavity tracks the
+        # running mean bias probability and last accessible volume.
+        biased = jnp.asarray(False)
+        if opts.cavity_bias:
+            k_grid, k_pick, k_rm = jax.random.split(k_cav, 3)
+            info = cavity_mod.update_grid(state, opts.cavity_grid_size,
+                                          opts.cavity_radius, k_grid)
+            ins_com, any_open = cavity_mod.biased_insert_position(info,
+                                                                  k_pick)
+            step_f = carry.step.astype(jnp.float64)
+            avg_prob = (carry.cavity[0] * step_f + info.probability) / \
+                (step_f + 1.0)
+            cavity_carry = jnp.stack([avg_prob, info.volume])
+            biased = jnp.select(
+                [movetype == const.MOVETYPE_INSERT,
+                 movetype == const.MOVETYPE_REMOVE],
+                [any_open,
+                 cavity_mod.remove_biased_flag(k_rm, avg_prob,
+                                               opts.cavity_grid_size)],
+                False)
+            insert_com = jnp.where(any_open, ins_com,
+                                   moves.random_cell_position(state, k_pick))
+        else:
+            cavity_carry = carry.cavity
+            insert_com = None
+
+        new_state, valid = apply_move(state, k_apply, movetype, target,
+                                      insert_com)
         v_old = state.pbc.volume
 
         eb = energy_breakdown(new_state, flags, params)
@@ -230,7 +262,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
             bf = metropolis.uvt_factor(
                 movetype, delta, T, state.pbc.volume, opts.fugacity,
                 obs_after.N, float(opts.sorbate_count),
-                jnp.asarray(False), carry.cavity[1], carry.cavity[0], pr)
+                biased, cavity_carry[1], cavity_carry[0], pr)
         elif opts.ensemble == const.ENSEMBLE_NPT:
             bf = metropolis.npt_factor(movetype, delta, T,
                                        base_params.pressure, v_old,
@@ -274,7 +306,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                       movetype=movetype,
                       polarization_iterations=eb.polarization_iterations)
         return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
-                       stats, carry.cavity), out
+                       stats, cavity_carry), out
 
     return step
 

@@ -1,0 +1,368 @@
+"""Two-box Gibbs (NVT) ensemble.
+
+Coupled Markov chains over two boxes (SimulationControl.Gibbs.cpp:136-352):
+particle transfers (remove from one box + insert a randomized copy into the
+other) and coupled volume exchanges accept jointly; displacements/spinflips
+accept per box (boltzmann_factor_NVT_Gibbs, src/SimulationControl.Gibbs.cpp:
+358-524, pick_Gibbs_move src/System.MonteCarlo.cpp:509-714).
+
+The two boxes may have different capacities, so the carry holds two separate
+SystemState pytrees rather than a stacked axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..config.schema import SimConfig
+from ..config.validate import validate
+from ..flags import FFlags, RunParams
+from ..io import output as out_io
+from ..io import pqr as pqr_io
+from ..ops.energy import energy_breakdown
+from ..state import SystemState, build_state
+from . import chain as chain_mod
+from . import moves
+from .averages import AvgObservables, nodestats_from_counters
+
+
+class GibbsCarry(NamedTuple):
+    state_a: SystemState
+    state_b: SystemState
+    energy_a: jnp.ndarray
+    energy_b: jnp.ndarray
+    obs_a: chain_mod.Observables
+    obs_b: chain_mod.Observables
+    temperature: jnp.ndarray
+    key: jnp.ndarray
+    step: jnp.ndarray
+    accept: jnp.ndarray   # [7]
+    reject: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsOptions:
+    move_factor: float = 1.0
+    rot_factor: float = 1.0
+    spinflip_probability: float = 0.0
+    volume_probability: float = 0.0
+    transfer_probability: float = 0.0
+    volume_change_factor: float = 0.25
+    quantum_rotation: bool = False
+    numsteps: int = 0
+
+
+def make_gibbs_step(flags: FFlags, base_params: RunParams,
+                    opts: GibbsOptions):
+
+    def energy_and_obs(state, params):
+        eb = energy_breakdown(state, flags, params)
+        obs = chain_mod.observables_from_breakdown(
+            state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
+        return eb.total + eb.cavity_penalty, obs, eb.iterator_failed
+
+    def step(carry: GibbsCarry, _):
+        key, k_move, k_dir, ka1, ka2, kt1, kt2, kacc1, kacc2, kv = \
+            jax.random.split(carry.key, 10)
+        params = dataclasses.replace(base_params,
+                                     temperature=carry.temperature)
+        T = carry.temperature
+        sa, sb = carry.state_a, carry.state_b
+
+        ta, na = moves.pick_random_movable(sa, kt1)
+        tb, nb = moves.pick_random_movable(sb, kt2)
+
+        r = jax.random.uniform(k_move)
+        spin_p = opts.spinflip_probability if opts.quantum_rotation else 0.0
+        vol_p = opts.volume_probability + spin_p
+        xfer_p = opts.transfer_probability + vol_p
+        movetype = jnp.select(
+            [r < spin_p, r < vol_p, r < xfer_p],
+            [const.MOVETYPE_SPINFLIP, const.MOVETYPE_VOLUME,
+             const.MOVETYPE_INSERT],  # INSERT encodes "transfer"
+            const.MOVETYPE_DISPLACE)
+        # direction of transfer: True = A->B
+        a_to_b = jax.random.uniform(k_dir) < 0.5
+        # never empty a box (src/System.MonteCarlo.cpp:655-661)
+        would_empty = jnp.where(a_to_b, na <= 1, nb <= 1)
+        movetype = jnp.where((movetype == const.MOVETYPE_INSERT) &
+                             would_empty, const.MOVETYPE_DISPLACE, movetype)
+
+        # --- build proposals for both boxes per movetype -----------------
+        def do_displace(sa, sb):
+            return (moves.displace(sa, ka1, ta, opts.move_factor,
+                                   opts.rot_factor),
+                    moves.displace(sb, ka2, tb, opts.move_factor,
+                                   opts.rot_factor), jnp.asarray(True))
+
+        def do_spin(sa, sb):
+            return moves.spinflip(sa, ta), moves.spinflip(sb, tb), \
+                jnp.asarray(True)
+
+        def do_transfer(sa, sb):
+            def a2b(_):
+                slot = moves.find_dead_slot(sb, sb.mol_type[tb])
+                nb_new, valid = moves.insert(sb, ka2, tb, slot)
+                return moves.remove(sa, ta), nb_new, valid
+            def b2a(_):
+                slot = moves.find_dead_slot(sa, sa.mol_type[ta])
+                na_new, valid = moves.insert(sa, ka1, ta, slot)
+                return na_new, moves.remove(sb, tb), valid
+            return jax.lax.cond(a_to_b, a2b, b2a, None)
+
+        def do_volume(sa, sb):
+            va, vb = sa.pbc.volume, sb.pbc.volume
+            log_new = jnp.log(va) + (jax.random.uniform(kv) - 0.5) * \
+                opts.volume_change_factor
+            va_new = jnp.exp(log_new)
+            vb_new = vb + va - va_new
+            valid = vb_new > 0.0
+            fa = (va_new / va) ** (1.0 / 3.0)
+            fb = jnp.where(valid, (vb_new / vb) ** (1.0 / 3.0), 1.0)
+
+            def scale(s, f):
+                com = s.mol_com()
+                delta = com * (f - 1.0)
+                return s.replace(pos=s.pos + delta[s.mol_id],
+                                 pbc=s.pbc.scale(f))
+            return scale(sa, fa), scale(sb, fb), valid
+
+        branch = jnp.select(
+            [movetype == const.MOVETYPE_DISPLACE,
+             movetype == const.MOVETYPE_SPINFLIP,
+             movetype == const.MOVETYPE_INSERT], [0, 1, 2], 3)
+        na_s, nb_s, valid = jax.lax.switch(
+            branch,
+            [lambda args: do_displace(*args), lambda args: do_spin(*args),
+             lambda args: do_transfer(*args), lambda args: do_volume(*args)],
+            (sa, sb))
+
+        ea, obs_a, fail_a = energy_and_obs(na_s, params)
+        eb_, obs_b, fail_b = energy_and_obs(nb_s, params)
+        dEa = ea - carry.energy_a
+        dEb = eb_ - carry.energy_b
+        finite = jnp.isfinite(ea) & jnp.isfinite(eb_)
+        beta = 1.0 / T
+
+        # --- acceptance --------------------------------------------------
+        pr_a = jnp.where(na_s.nuclear_spin[ta] == const.NUCLEAR_SPIN_PARA,
+                         sa.rot_partfunc_g[ta] /
+                         (sa.rot_partfunc_g[ta] + sa.rot_partfunc_u[ta]),
+                         sa.rot_partfunc_u[ta] /
+                         (sa.rot_partfunc_g[ta] + sa.rot_partfunc_u[ta]))
+        pr_b = jnp.where(nb_s.nuclear_spin[tb] == const.NUCLEAR_SPIN_PARA,
+                         sb.rot_partfunc_g[tb] /
+                         (sb.rot_partfunc_g[tb] + sb.rot_partfunc_u[tb]),
+                         sb.rot_partfunc_u[tb] /
+                         (sb.rot_partfunc_g[tb] + sb.rot_partfunc_u[tb]))
+
+        independent = (movetype == const.MOVETYPE_DISPLACE) | \
+            (movetype == const.MOVETYPE_SPINFLIP)
+
+        bf_a_ind = jnp.where(movetype == const.MOVETYPE_SPINFLIP, pr_a,
+                             jnp.exp(-dEa / T))
+        bf_b_ind = jnp.where(movetype == const.MOVETYPE_SPINFLIP, pr_b,
+                             jnp.exp(-dEb / T))
+
+        # transfer factor (src/SimulationControl.Gibbs.cpp:416-441):
+        # (N_A/V_A)(V_B/(N_B+1)) exp(-beta(dE_A + dE_B)) with the
+        # POST-move molecule counts, exactly as the reference evaluates it
+        # (observables->N is refreshed by energy() before the factor).
+        N_src = jnp.where(a_to_b, obs_a.N, obs_b.N)
+        V_src = jnp.where(a_to_b, sa.pbc.volume, sb.pbc.volume)
+        N_dst = jnp.where(a_to_b, obs_b.N, obs_a.N)
+        V_dst = jnp.where(a_to_b, sb.pbc.volume, sa.pbc.volume)
+        bf_xfer = (N_src / V_src) * (V_dst / (N_dst + 1.0)) * \
+            jnp.exp(-beta * dEa - beta * dEb)
+
+        # coupled volume factor. NOTE deliberate deviation: the reference's
+        # algebra at src/SimulationControl.Gibbs.cpp:466-468 reduces to
+        # (V_old/V_new)^N — the reciprocal of the detailed-balance-correct
+        # Gibbs volume acceptance. We use the standard
+        # (V_new/V_old)^N_A (V_new/V_old)^N_B exp(-beta dE) form.
+        va, vb = sa.pbc.volume, sb.pbc.volume
+        dV = na_s.pbc.volume - va
+        bf_vol = ((va + dV) / va) ** obs_a.N * ((vb - dV) / vb) ** obs_b.N \
+            * jnp.exp(-beta * dEa - beta * dEb)
+
+        bf_joint = jnp.where(movetype == const.MOVETYPE_VOLUME, bf_vol,
+                             bf_xfer)
+        bf_joint = jnp.where(finite & valid, bf_joint, 0.0)
+
+        u1 = jax.random.uniform(kacc1)
+        u2 = jax.random.uniform(kacc2)
+        acc_a_ind = (u1 < jnp.where(jnp.isfinite(ea), bf_a_ind, 0.0)) & \
+            ~fail_a
+        acc_b_ind = (u2 < jnp.where(jnp.isfinite(eb_), bf_b_ind, 0.0)) & \
+            ~fail_b
+        acc_joint = (u1 < bf_joint) & ~fail_a & ~fail_b
+
+        acc_a = jnp.where(independent, acc_a_ind, acc_joint)
+        acc_b = jnp.where(independent, acc_b_ind, acc_joint)
+
+        sel = lambda acc, new, old: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(acc, x, y), new, old)
+        state_a = sel(acc_a, na_s, sa)
+        state_b = sel(acc_b, nb_s, sb)
+        energy_a = jnp.where(acc_a, ea, carry.energy_a)
+        energy_b = jnp.where(acc_b, eb_, carry.energy_b)
+        obs_a_out = sel(acc_a, obs_a, carry.obs_a)
+        obs_b_out = sel(acc_b, obs_b, carry.obs_b)
+
+        accepted_any = acc_a | acc_b
+        # report the transfer movetype as insert for stats purposes
+        onehot = jax.nn.one_hot(movetype, 7, dtype=jnp.int64)
+        return GibbsCarry(
+            state_a, state_b, energy_a, energy_b, obs_a_out, obs_b_out,
+            carry.temperature, key, carry.step + 1,
+            carry.accept + jnp.where(accepted_any, onehot, 0),
+            carry.reject + jnp.where(accepted_any, 0, onehot)), \
+            (jnp.where(independent, bf_a_ind, bf_joint), accepted_any,
+             movetype)
+
+    return step
+
+
+class GibbsSimulation:
+    """Host driver for NVT-Gibbs (Gibbs_mc,
+    src/SimulationControl.Gibbs.cpp:136-352)."""
+
+    def __init__(self, cfg: SimConfig, quiet: bool = False):
+        self.cfg = validate(cfg)
+        self.quiet = quiet
+        self.out = sys.stdout
+
+        basis = np.zeros((3, 3))
+        basis[0], basis[1], basis[2] = cfg.basis1, cfg.basis2, cfg.basis3
+
+        atoms_a = pqr_io.read_pqr(cfg.pqr_input,
+                                  scale_charge=cfg.scale_charge)
+        atoms_b = pqr_io.read_pqr(cfg.pqr_input_B or cfg.pqr_input,
+                                  scale_charge=cfg.scale_charge)
+        n_a = len({a.molecule_id for a in atoms_a if not a.frozen})
+        n_b = len({a.molecule_id for a in atoms_b if not a.frozen})
+        extra = max(n_a, n_b, 16)
+        self.state_a, self.meta_a = build_state(atoms_a, basis,
+                                                extra_mol_capacity=extra)
+        self.state_b, self.meta_b = build_state(atoms_b, basis,
+                                                extra_mol_capacity=extra)
+
+        cutoff = float(self.state_a.pbc.cutoff)
+        if not cfg.ewald_alpha_set:
+            cfg.ewald_alpha = 3.5 / cutoff
+        if not cfg.polar_ewald_alpha_set:
+            cfg.polar_ewald_alpha = 3.5 / cutoff
+
+        self.flags = cfg.to_flags()
+        self.params = cfg.to_params()
+        self.opts = GibbsOptions(
+            move_factor=cfg.move_factor, rot_factor=cfg.rot_factor,
+            spinflip_probability=cfg.spinflip_probability,
+            volume_probability=cfg.volume_probability,
+            transfer_probability=cfg.transfer_probability,
+            volume_change_factor=cfg.volume_change_factor,
+            quantum_rotation=cfg.quantum_rotation,
+            numsteps=cfg.numsteps)
+
+        self.avg = [AvgObservables(), AvgObservables()]
+        step_fn = make_gibbs_step(self.flags, self.params, self.opts)
+
+        @jax.jit
+        def run_chunk(carry):
+            return jax.lax.scan(step_fn, carry, None, length=cfg.corrtime)
+        self._run_chunk = run_chunk
+        self._step_fn = step_fn
+        self._seed = cfg.preset_seed if cfg.preset_seed_on else 0
+
+    def _init_carry(self) -> GibbsCarry:
+        params = self.params
+        flags = self.flags
+
+        def eo(state):
+            eb = energy_breakdown(state, flags, params)
+            obs = chain_mod.observables_from_breakdown(
+                state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
+            return eb.total + eb.cavity_penalty, obs
+
+        ea, obs_a = eo(self.state_a)
+        eb_, obs_b = eo(self.state_b)
+        return GibbsCarry(
+            self.state_a, self.state_b, ea, eb_, obs_a, obs_b,
+            jnp.asarray(self.cfg.temperature, jnp.float64),
+            jax.random.PRNGKey(self._seed), jnp.zeros((), jnp.int64),
+            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64))
+
+    def run(self):
+        cfg = self.cfg
+        carry = self._init_carry()
+
+        fps = []
+        for i in range(2):
+            path = pqr_io.make_filename(cfg.energy_output, i) \
+                if cfg.energy_output != "/dev/null" else None
+            fps.append(out_io.open_energy_file(path) if path else None)
+
+        def obs_dicts(carry):
+            from .pi import bead  # noqa
+            from ..runner import _obs_to_dict
+            return [_obs_to_dict(carry.obs_a), _obs_to_dict(carry.obs_b)]
+
+        def pmass(state):
+            mm = np.asarray(state.mol_mass)
+            mov = np.asarray(moves.movable_mask(state))
+            idx = np.nonzero(mov)[0]
+            return float(mm[idx[0]]) if len(idx) else 0.0
+
+        def corrtime_io(step):
+            for i, (obs, st) in enumerate(
+                    zip(obs_dicts(carry),
+                        (carry.state_a, carry.state_b))):
+                self.avg[i].update(obs, ensemble=cfg.ensemble,
+                                   temperature=cfg.temperature,
+                                   volume=float(st.pbc.volume),
+                                   particle_mass=pmass(st),
+                                   free_volume=cfg.free_volume,
+                                   pressure=cfg.pressure, gibbs=False)
+                if fps[i]:
+                    out_io.write_observables(fps[i], step, obs,
+                                             float(carry.temperature))
+
+        perf = out_io.PerformanceTimer(cfg.numsteps)
+        corrtime_io(0)
+        step = 0
+        while step < cfg.numsteps:
+            n = min(cfg.corrtime, cfg.numsteps - step)
+            carry, _ = self._run_chunk(carry) if n == cfg.corrtime else \
+                jax.lax.scan(self._step_fn, carry, None, length=n)
+            step += n
+            ns = nodestats_from_counters(np.asarray(carry.accept),
+                                         np.asarray(carry.reject), 0.0)
+            for i in range(2):
+                self.avg[i].update_nodestats(ns)
+            corrtime_io(step)
+            if not self.quiet:
+                perf.report(step, self.out)
+                for i in range(2):
+                    out_io.display_averages(
+                        self.avg[i], sys_id=f"_{i}",
+                        temperature=float(carry.temperature),
+                        ensemble=cfg.ensemble, out=self.out)
+
+        for i, (st, meta) in enumerate(((carry.state_a, self.meta_a),
+                                        (carry.state_b, self.meta_b))):
+            if cfg.pqr_output != "/dev/null":
+                pqr_io.write_state_pqr(
+                    pqr_io.make_filename(cfg.pqr_output, i), st, meta,
+                    wrapall=cfg.wrapall, long_output=cfg.long_output)
+        for f in fps:
+            if f:
+                f.close()
+        self.carry = carry
+        return self.avg

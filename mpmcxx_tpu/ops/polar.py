@@ -33,6 +33,7 @@ from ..flags import FFlags, RunParams
 from ..state import SystemState
 from .pairwise import PairTensors
 from .ewald import kvectors
+from .linalg import solve_sym
 
 
 class PolarResult(NamedTuple):
@@ -284,7 +285,7 @@ def thole_exact(state: SystemState, Amat, E_static):
     src/System.Energy.cpp:3660-3710)."""
     A = state.n_atom_slots
     M = jnp.transpose(Amat, (0, 2, 1, 3)).reshape(3 * A, 3 * A)
-    mu = jnp.linalg.solve(M, E_static.reshape(-1)).reshape(A, 3)
+    mu = solve_sym(M, E_static.reshape(-1)).reshape(A, 3)
     return jnp.where(state.atom_alive()[:, None], mu, 0.0)
 
 

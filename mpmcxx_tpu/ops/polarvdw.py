@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
+from .linalg import eigvalsh as sym_eigvalsh
 from .pairwise import PairTensors
 from .pair_potentials import _reduced_mass_kg, _safe_div
 
@@ -43,7 +44,7 @@ def _cmatrix(state: SystemState, Amat, intra_only: bool):
 
 
 def _eigen_energy(C):
-    lam = jnp.linalg.eigvalsh(C)
+    lam = sym_eigvalsh(C)
     lam = jnp.where(lam < 0.0, 0.0, lam)
     return jnp.sum(jnp.sqrt(lam))
 

@@ -27,8 +27,10 @@ MAX_VECT_COEF = 15
 
 
 def basis_volume(basis):
-    """det of the 3x3 basis (src/PeriodicBoundary.cpp:71-78)."""
-    return jnp.linalg.det(basis)
+    """det of the 3x3 basis via the scalar triple product
+    (src/PeriodicBoundary.cpp:71-78); avoids LU kernels absent on TPU
+    for float64."""
+    return jnp.dot(basis[0], jnp.cross(basis[1], basis[2]))
 
 
 def reciprocal_basis(basis):
@@ -37,8 +39,19 @@ def reciprocal_basis(basis):
     basis.  Minimum image projects fractional coords as ``d @ recip``
     (src/System.cpp:1228-1235) and reciprocal lattice vectors are
     ``k = 2*pi * l @ recip.T`` (src/System.Energy.cpp:1586-1590).
+
+    Computed via the analytic 3x3 cofactor expansion: exact, cheap, and —
+    unlike jnp.linalg.inv — supported in float64 on TPU (no LU
+    decomposition kernel needed).
     """
-    return jnp.linalg.inv(basis)
+    b = basis
+    cof = jnp.stack([
+        jnp.cross(b[1], b[2]),
+        jnp.cross(b[2], b[0]),
+        jnp.cross(b[0], b[1]),
+    ], axis=1)  # columns are cofactor vectors -> inv = cof / det
+    det = jnp.dot(b[0], jnp.cross(b[1], b[2]))
+    return cof / det
 
 
 def shortest_half_vector(basis) -> jnp.ndarray:
