@@ -64,16 +64,17 @@ def our_moves_per_sec() -> float:
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK)
 
-    # warmup/compile
+    # warmup/compile (fetch a value: under the axon remote runtime
+    # block_until_ready alone does not force completion)
     carry, _ = runner(carry)
-    jax.block_until_ready(carry.obs.energy)
+    float(carry.obs.energy)
 
     t0 = time.time()
     done = 0
     while done < STEPS:
         carry, _ = runner(carry)
         done += CHUNK
-    jax.block_until_ready(carry.obs.energy)
+    float(carry.obs.energy)
     dt = time.time() - t0
     return done / dt
 

@@ -126,7 +126,7 @@ class SimConfig:
     using_disp_expansion: bool = False
     using_axilrod_teller: bool = False
     c6_mixing: bool = False
-    damp_dispersion: bool = True
+    damp_dispersion: bool = False
     disp_expansion_mbvdw: bool = False
     extrapolate_disp_coeffs: bool = False
     halgren_mixing: bool = False

@@ -48,7 +48,7 @@ class FFlags:
     disp_expansion_mbvdw: bool = False
     extrapolate_disp_coeffs: bool = False
     schmidt_ff: bool = False
-    damp_dispersion: bool = True
+    damp_dispersion: bool = False
     midzuno_kihara_approx: bool = False
 
     # electrostatics

@@ -1,0 +1,66 @@
+"""Golden fidelity gate: single-point energies vs the compiled reference.
+
+Fixtures in tests/golden/*.json were produced by tools/make_golden.py
+running the actual reference binary on shared configurations; each records
+the (rd, coulombic, polar, vdw) breakdown printed to energy.dat (6 decimal
+places).  Our energies must match to the print quantum.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import constants as const
+from mpmcxx_tpu.config.parser import parse_config
+from mpmcxx_tpu.ops.energy import energy_breakdown
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+FIXTURES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.json")))
+
+
+def build_from_fixture(fix):
+    atoms = []
+    for (at, mt, mid, x, y, z, mass, q, al, eps, sig, om, gw, c6, c8, c10,
+         c9) in fix["atoms"]:
+        atoms.append(AtomRecord(
+            atomtype=at, moleculetype=mt, molecule_id=mid, x=x, y=y, z=z,
+            mass=mass, charge=q * const.E2REDUCED, polarizability=al,
+            epsilon=eps, sigma=sig, omega=om, gwp_alpha=gw, c6=c6, c8=c8,
+            c10=c10, c9=c9))
+    basis = np.eye(3) * fix["basis"]
+    state, _ = build_state(atoms, basis)
+
+    cfg = parse_config(fix["config_extra"])
+    cfg.temperature = fix["temperature"]
+    flags = cfg.to_flags()
+    params = cfg.to_params()
+    # ewald alpha default: 3.5 / cutoff (src/System.cpp:871-874)
+    cutoff = fix["basis"] / 2.0
+    import dataclasses
+    if not cfg.ewald_alpha_set:
+        params = dataclasses.replace(params, ewald_alpha=3.5 / cutoff)
+    if not cfg.polar_ewald_alpha_set:
+        params = dataclasses.replace(params, polar_ewald_alpha=3.5 / cutoff)
+    return state, flags, params
+
+
+@pytest.mark.parametrize(
+    "path", FIXTURES, ids=[os.path.basename(p)[:-5] for p in FIXTURES])
+def test_golden(path):
+    with open(path) as f:
+        fix = json.load(f)
+    state, flags, params = build_from_fixture(fix)
+    eb = energy_breakdown(state, flags, params)
+    exp = fix["expected"]
+    # energy.dat prints %f (6 decimals); allow one print quantum slack
+    atol = 2e-6
+    assert float(eb.rd) == pytest.approx(exp["rd"], abs=atol), "rd"
+    assert float(eb.coulombic) == pytest.approx(exp["coulombic"], abs=atol), \
+        "coulombic"
+    assert float(eb.polarization) == pytest.approx(exp["polar"], abs=atol), \
+        "polar"
+    assert float(eb.vdw) == pytest.approx(exp["vdw"], abs=atol), "vdw"

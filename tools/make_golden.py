@@ -1,0 +1,217 @@
+"""Generate golden single-point energy fixtures from the reference engine.
+
+For each test case this writes a PQR + pi_nvt input with 4 identical bead
+restarts (the non-MPI reference crashes on standard ensembles — see
+.claude/skills/verify/SKILL.md), runs the compiled reference, and records
+row 0 of the energy.dat: the exact (rd, coulombic, polar, vdw) single-point
+breakdown for that configuration.  Fixtures are committed so CI never needs
+the binary.
+
+Usage: python tools/make_golden.py [case ...]
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.path.join(REPO, ".refbuild", "mpmcxx")
+OUT = os.path.join(REPO, "tests", "golden")
+
+BASIS = 17.0
+
+# atoms: (atomtype, moltype, molid, x, y, z, mass, charge_e, alpha, eps,
+#         sigma, omega, gwp_alpha, c6, c8, c10, c9)
+MIXED_ATOMS = [
+    ("Ar", "ARG", 1, 1.20, 0.70, -0.50, 39.948, 0.0, 0.0, 119.8, 3.405,
+     0, 0, 0, 0, 0, 0),
+    ("Kr", "KRY", 2, 4.30, 1.10, 0.40, 83.80, 0.0, 0.0, 171.0, 3.60,
+     0, 0, 0, 0, 0, 0),
+    ("Na", "SOD", 3, -3.10, 2.00, 1.10, 22.99, 1.0, 0.24, 50.0, 2.8,
+     0, 0, 0, 0, 0, 0),
+    ("Cl", "CHL", 4, 0.50, -2.60, 3.10, 35.45, -1.0, 2.5, 100.0, 3.4,
+     0, 0, 0, 0, 0, 0),
+]
+
+# a rigid triatomic (CO2-like) + charged atoms: exercises intra-molecular
+# exclusions and the Ewald screening correction
+TRIATOMIC = [
+    ("C", "CO2", 1, 0.00, 0.00, 0.00, 12.011, 0.6512, 1.2, 28.0, 2.75,
+     0, 0, 0, 0, 0, 0),
+    ("O", "CO2", 1, 1.16, 0.00, 0.00, 15.999, -0.3256, 0.7, 79.0, 3.0,
+     0, 0, 0, 0, 0, 0),
+    ("O", "CO2", 1, -1.16, 0.00, 0.00, 15.999, -0.3256, 0.7, 79.0, 3.0,
+     0, 0, 0, 0, 0, 0),
+    ("C", "CO2", 2, 3.90, 1.30, -0.80, 12.011, 0.6512, 1.2, 28.0, 2.75,
+     0, 0, 0, 0, 0, 0),
+    ("O", "CO2", 2, 5.06, 1.30, -0.80, 15.999, -0.3256, 0.7, 79.0, 3.0,
+     0, 0, 0, 0, 0, 0),
+    ("O", "CO2", 2, 2.74, 1.30, -0.80, 15.999, -0.3256, 0.7, 79.0, 3.0,
+     0, 0, 0, 0, 0, 0),
+    ("Ar", "ARG", 3, -2.80, -2.10, 2.20, 39.948, 0.0, 1.64, 119.8, 3.405,
+     0, 0, 0, 0, 0, 0),
+]
+
+# dispersion-expansion atoms: epsilon==BM alpha (1/A), sigma==BM r (A),
+# c6/c8/c10 in a.u.
+DISP_ATOMS = [
+    ("He", "HEL", 1, 0.80, 0.20, -0.40, 4.0026, 0.0, 0.2, 2.96, 2.67,
+     0, 0, 1.46, 14.1, 183.5, 0),
+    ("He", "HEL", 2, 3.60, 0.90, 0.60, 4.0026, 0.0, 0.2, 2.96, 2.67,
+     0, 0, 1.46, 14.1, 183.5, 0),
+    ("Ne", "NEO", 3, -2.40, 1.80, 1.20, 20.180, 0.0, 0.39, 3.09, 2.78,
+     0, 0, 6.38, 90.3, 1536.0, 0),
+]
+
+AT_ATOMS = [  # axilrod-teller: needs alpha + c9 (K*A^9 input units... a.u.)
+    ("Ar", "ARG", 1, 0.50, 0.30, -0.20, 39.948, 0.0, 1.642, 119.8, 3.405,
+     0, 0, 64.3, 0, 0, 518.3),
+    ("Ar", "ARG", 2, 4.10, 0.80, 0.50, 39.948, 0.0, 1.642, 119.8, 3.405,
+     0, 0, 64.3, 0, 0, 518.3),
+    ("Ar", "ARG", 3, 1.80, 3.60, 1.10, 39.948, 0.0, 1.642, 119.8, 3.405,
+     0, 0, 64.3, 0, 0, 518.3),
+]
+
+CASES = {
+    "lj_lb": dict(atoms=MIXED_ATOMS, extra=""),
+    "lj_nolrc": dict(atoms=MIXED_ATOMS, extra="rd_lrc off\n"),
+    "lj_wh": dict(atoms=MIXED_ATOMS, extra="waldmanhagler on\n"),
+    "lj_halgren": dict(atoms=MIXED_ATOMS, extra="halgren_mixing on\n"),
+    # NOTE: feynman_hibbs cases cannot use this oracle (the reference
+    # refuses FH + path integrals), and axilrod_teller energy is invisible
+    # in PI energy.dat (PI_calculate_potential sums only 4 components).
+    "wolf": dict(atoms=MIXED_ATOMS, extra="wolf on\n"),
+    "triatomic_ewald": dict(atoms=TRIATOMIC, extra=""),
+    "polar_nopbc": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_ewald": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_ewald on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_wolf": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_wolf on\n"
+              "polar_wolf_alpha 0.2\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_linear_damp": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\n"
+              "polar_damp_type linear\npolar_damp 2.5874\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_sor": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_sor on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 0.7\npolar_precision 0.00000001\n"),
+    "polar_palmo": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_palmo on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_exact": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative off\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_max_iter 10\n"),
+    "sg": dict(atoms=MIXED_ATOMS[:2], extra="sg on\n"),
+    "dreiding": dict(atoms=MIXED_ATOMS, extra="dreiding on\n"),
+    "lj_buffered_14_7": dict(atoms=MIXED_ATOMS,
+                             extra="lj_buffered_14_7 on\n"),
+    "disp_expansion": dict(atoms=DISP_ATOMS, extra="disp_expansion on\n"),
+    "disp_nodamp": dict(atoms=DISP_ATOMS,
+                        extra="disp_expansion on\ndamp_dispersion off\n"),
+    "disp_tt_damped": dict(atoms=DISP_ATOMS,
+                           extra="disp_expansion on\ndamp_dispersion on\n"),
+}
+
+
+def pqr_text(atoms):
+    lines = []
+    for i, a in enumerate(atoms, 1):
+        (at, mt, mid, x, y, z, mass, q, al, eps, sig, om, gw, c6, c8, c10,
+         c9) = a
+        lines.append(
+            f"ATOM  {i:5d} {at:<4s} {mt:<3s} M {mid:4d}   "
+            f"{x:10.5f} {y:10.5f} {z:10.5f} {mass:9.5f} {q:9.5f} "
+            f"{al:9.5f} {eps:9.5f} {sig:9.5f} {om:9.5f} {gw:9.5f} "
+            f"{c6:9.5f} {c8:9.5f} {c10:9.5f} {c9:9.5f}")
+    lines.append("END")
+    return "\n".join(lines) + "\n"
+
+
+def run_case(name, spec):
+    with tempfile.TemporaryDirectory() as d:
+        txt = pqr_text(spec["atoms"])
+        with open(os.path.join(d, "base.pqr"), "w") as f:
+            f.write(txt)
+        for i in range(4):
+            with open(os.path.join(d, f"g.restart-000{i}.pqr"), "w") as f:
+                f.write(txt)
+        with open(os.path.join(d, "run.in"), "w") as f:
+            f.write(f"""job_name g
+ensemble pi_nvt
+temperature 77.0
+numsteps 1
+corrtime 1
+seed 42
+PI_trial_chain_length 2
+bead_perturb_probability 1.0
+pqr_input base.pqr
+parallel_restarts on
+basis1 {BASIS} 0.0 0.0
+basis2 0.0 {BASIS} 0.0
+basis3 0.0 0.0 {BASIS}
+{spec['extra']}""")
+        r = subprocess.run([REF, "-P", "4", "run.in"], cwd=d,
+                           capture_output=True, text=True, timeout=300)
+        dat = os.path.join(d, "g.energy.dat")
+        if not os.path.exists(dat):
+            print(f"FAILED {name}:")
+            print(r.stdout[-2000:])
+            return None
+        with open(dat) as f:
+            lines = f.read().splitlines()
+        cols = lines[1].split()
+        expected = {
+            "energy": float(cols[1]), "coulombic": float(cols[2]),
+            "rd": float(cols[3]), "polar": float(cols[4]),
+            "vdw": float(cols[5]), "kinetic": float(cols[6]),
+        }
+        # sanity: identical beads -> kinetic must be exactly 1.5*N*T*P
+        n_mol = len({a[2] for a in spec["atoms"]})
+        assert abs(expected["kinetic"] - 1.5 * n_mol * 77.0 * 4) < 1e-3, \
+            (name, expected["kinetic"])
+        return {
+            "name": name,
+            "atoms": spec["atoms"],
+            "basis": BASIS,
+            "temperature": 77.0,
+            "config_extra": spec["extra"],
+            "expected": expected,
+        }
+
+
+def main():
+    wanted = sys.argv[1:] or list(CASES)
+    for name in wanted:
+        fix = run_case(name, CASES[name])
+        if fix is None:
+            continue
+        path = os.path.join(OUT, name + ".json")
+        with open(path, "w") as f:
+            json.dump(fix, f, indent=1)
+        e = fix["expected"]
+        print(f"{name}: rd={e['rd']} coul={e['coulombic']} "
+              f"polar={e['polar']} vdw={e['vdw']}")
+
+
+if __name__ == "__main__":
+    main()
