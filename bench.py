@@ -60,7 +60,8 @@ def our_moves_per_sec() -> float:
     flags = FFlags()
     params = RunParams(temperature=150.0, ewald_alpha=3.5 / (BOX / 2))
     opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVT, move_factor=0.05,
-                               numsteps=STEPS)
+                               numsteps=STEPS, incremental=True,
+                               max_mol_atoms=1)
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK)
 

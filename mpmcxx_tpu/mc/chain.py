@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..flags import FFlags, RunParams
+from ..ops import delta as delta_mod
 from ..ops.energy import EnergyBreakdown, energy_breakdown
 from ..state import Observables, SystemState
 from . import cavity as cavity_mod
@@ -56,6 +57,11 @@ class MCOptions:
     rd_anharmonic: bool = False
     gwp: bool = False
     gwp_probability: float = 0.0
+    # incremental Delta-E evaluation (O(S*A) per local move) — enabled by
+    # the driver when ops.delta.supports(flags); max_mol_atoms is the
+    # static rect row count (largest movable molecule).
+    incremental: bool = False
+    max_mol_atoms: int = 1
 
 
 class NodeStats(NamedTuple):
@@ -73,6 +79,8 @@ class MCCarry(NamedTuple):
     stats: NodeStats
     cavity: jnp.ndarray            # cavity grid open-fraction state [2]:
                                    # (bias probability, cavity volume)
+    sf: delta_mod.SFCache          # Ewald structure-factor cache ([0] dims
+                                   # when the incremental path is off)
 
 
 class StepOut(NamedTuple):
@@ -162,7 +170,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
     """Build the per-step transition function for lax.scan."""
 
     def apply_move(state: SystemState, key, movetype, target,
-                   insert_com=None):
+                   insert_com=None, insert_slot=None):
         k1, = jax.random.split(key, 1)
 
         def do_displace(s):
@@ -182,9 +190,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                                   1.0), jnp.asarray(True)
 
         def do_insert(s):
-            species = s.mol_type[target]
-            slot = moves.find_dead_slot(s, species)
-            return moves.insert(s, k1, target, slot, com=insert_com)
+            return moves.insert(s, k1, target, insert_slot, com=insert_com)
 
         def do_remove(s):
             return moves.remove(s, target), jnp.asarray(True)
@@ -239,11 +245,54 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
             cavity_carry = carry.cavity
             insert_com = None
 
+        insert_slot = moves.find_dead_slot(state, state.mol_type[target])
         new_state, valid = apply_move(state, k_apply, movetype, target,
-                                      insert_com)
+                                      insert_com, insert_slot)
         v_old = state.pbc.volume
 
-        eb = energy_breakdown(new_state, flags, params)
+        if opts.incremental:
+            # rect Delta-E path for local moves; full recompute for VOLUME
+            row_mol = jnp.where(movetype == const.MOVETYPE_INSERT,
+                                jnp.maximum(insert_slot, 0), target)
+            rows = jnp.nonzero(state.mol_id == row_mol,
+                               size=opts.max_mol_atoms, fill_value=-1)[0]
+
+            def eval_delta(ns):
+                d = delta_mod.delta_energy(state, ns, rows, carry.sf,
+                                           flags, params)
+                rd = carry.obs.rd_energy + d.d_rd
+                coul = carry.obs.coulombic_energy + d.d_coul
+                if flags.cavity_autoreject_absolute:
+                    from ..ops.energy import cavity_absolute_check
+                    from ..ops.pairwise import build_pairs_rect
+                    ptr = build_pairs_rect(ns, flags, rows)
+                    pen = cavity_absolute_check(ns, ptr, params)
+                else:
+                    pen = jnp.zeros(())
+                return rd, coul, pen, d.sf_new
+
+            def eval_full(ns):
+                ebf = energy_breakdown(ns, flags, params)
+                sf_new = delta_mod.sf_compute(ns, flags, params) \
+                    if delta_mod.uses_recip(flags) else carry.sf
+                return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new
+
+            rd, coul, pen, sf_new = jax.lax.cond(
+                movetype == const.MOVETYPE_VOLUME, eval_full, eval_delta,
+                new_state)
+            total = rd + coul
+            eb = EnergyBreakdown(
+                total=total, rd=rd, coulombic=coul,
+                polarization=jnp.zeros(()), vdw=jnp.zeros(()),
+                three_body=jnp.zeros(()), kinetic=jnp.zeros(()),
+                mu=state.mu * 0.0,
+                polarization_iterations=jnp.zeros(()),
+                iterator_failed=jnp.zeros((), bool),
+                dipole_rrms=jnp.zeros(()), cavity_penalty=pen)
+        else:
+            eb = energy_breakdown(new_state, flags, params)
+            sf_new = carry.sf
+
         final_energy = eb.total + eb.cavity_penalty
         obs_after = observables_from_breakdown(new_state, eb, flags, params,
                                                opts.ensemble)
@@ -281,6 +330,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
             lambda x, y: jnp.where(accept, x, y), a, b)
         state_out = sel(new_state, state)
         obs_out = sel(obs_after, carry.obs)
+        sf_out = sel(sf_new, carry.sf)
 
         # simulated annealing on accept (src/System.MonteCarlo.cpp:74-85)
         if opts.simulated_annealing:
@@ -306,7 +356,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                       movetype=movetype,
                       polarization_iterations=eb.polarization_iterations)
         return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
-                       stats, cavity_carry), out
+                       stats, cavity_carry, sf_out), out
 
     return step
 
@@ -335,6 +385,10 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
     stats = NodeStats(accept=jnp.zeros(7, jnp.int64),
                       reject=jnp.zeros(7, jnp.int64),
                       boltzmann_factor=jnp.zeros(()))
+    if opts.incremental and delta_mod.uses_recip(flags):
+        sf = delta_mod.sf_compute(state, flags, params)
+    else:
+        sf = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
     return MCCarry(
         state=state, obs=obs,
         temperature=jnp.asarray(params.temperature, jnp.float64),
@@ -342,4 +396,26 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
         step=jnp.zeros((), jnp.int64),
         stats=stats,
         cavity=jnp.zeros(2),
+        sf=sf,
     )
+
+
+def make_refresher(flags: FFlags, base_params: RunParams, opts: MCOptions):
+    """Jitted full-recompute of observables (and the structure-factor
+    cache): the drift-control role of flag_all_pairs
+    (src/System.cpp:1284-1297), invoked by the driver every corrtime."""
+
+    @jax.jit
+    def refresh(carry: MCCarry) -> MCCarry:
+        params = dataclasses.replace(base_params,
+                                     temperature=carry.temperature)
+        eb = energy_breakdown(carry.state, flags, params)
+        obs = observables_from_breakdown(carry.state, eb, flags, params,
+                                         opts.ensemble)
+        if opts.incremental and delta_mod.uses_recip(flags):
+            sf = delta_mod.sf_compute(carry.state, flags, params)
+        else:
+            sf = carry.sf
+        return carry._replace(obs=obs, sf=sf)
+
+    return refresh

@@ -1,0 +1,151 @@
+"""Incremental Delta-E move evaluation.
+
+The reference gets cheap MC steps from per-pair energy caches flagged by
+``recalculate_energy`` (src/System.cpp:1202-1279, the lj/coulombic kernels'
+``if (pair_ptr->recalculate_energy)`` branches).  The TPU-native equivalent:
+for a move that touches one molecule, evaluate the SAME pair kernels on the
+rect [S,A] slice (S = that molecule's atom slots) in the old and new states
+and take the difference — O(S*A) instead of O(A^2) — plus an incrementally
+maintained Ewald structure factor for the k-space term, O(S*K) instead of
+O(A*K).
+
+Supported whenever the energy is strictly pairwise + k-space:
+no polarization / polarvdw / Axilrod-Teller / rd_crystal / GWP / SPECTRE /
+anharmonic.  The chain falls back to the full recompute otherwise, and the
+host driver refreshes from scratch every corrtime to kill floating-point
+drift (the role of flag_all_pairs, src/System.cpp:1284-1297).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..flags import FFlags, RunParams
+from ..state import SystemState
+from . import ewald, pair_potentials
+from .pairwise import build_pairs_rect
+
+
+class SFCache(NamedTuple):
+    """Ewald structure factors over the static hemisphere k-lattice."""
+    re: jnp.ndarray   # [K]
+    im: jnp.ndarray   # [K]
+
+
+def supports(flags: FFlags) -> bool:
+    """True when the total energy is strictly pairwise + k-space (SG is
+    pairwise and therefore supported)."""
+    return not (flags.polarization or flags.polarvdw or
+                flags.using_axilrod_teller or flags.rd_crystal or
+                flags.gwp or flags.spectre or flags.rd_anharmonic)
+
+
+def uses_recip(flags: FFlags) -> bool:
+    return not (flags.use_sg or flags.rd_only or flags.wolf)
+
+
+def sf_compute(state: SystemState, flags: FFlags, params: RunParams
+               ) -> SFCache:
+    k, _ = ewald.kvectors(state, flags.ewald_kmax)
+    q = jnp.where(state.atom_alive() & ~state.frozen, state.charge, 0.0)
+    phase = state.pos @ k.T
+    return SFCache(re=q @ jnp.cos(phase), im=q @ jnp.sin(phase))
+
+
+def recip_energy(sf: SFCache, state: SystemState, flags: FFlags,
+                 params: RunParams):
+    _, k2 = ewald.kvectors(state, flags.ewald_kmax)
+    alpha = params.ewald_alpha
+    pot = jnp.sum(jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2 *
+                  (sf.re ** 2 + sf.im ** 2))
+    return pot * 4.0 * const.pi / state.pbc.volume
+
+
+def sf_shift(state: SystemState, flags: FFlags, rows, sign: float
+             ) -> SFCache:
+    """Contribution of ``rows`` atoms to the structure factor (0 where the
+    row is padding, dead, or frozen)."""
+    A = state.n_atom_slots
+    safe = jnp.clip(rows, 0, A - 1)
+    valid = (rows >= 0) & state.atom_alive()[safe] & ~state.frozen[safe]
+    q = jnp.where(valid, state.charge[safe], 0.0)
+    k, _ = ewald.kvectors(state, flags.ewald_kmax)
+    phase = state.pos[safe] @ k.T               # [S,K]
+    return SFCache(re=sign * (q @ jnp.cos(phase)),
+                   im=sign * (q @ jnp.sin(phase)))
+
+
+def sf_apply(sf: SFCache, *shifts) -> SFCache:
+    re, im = sf.re, sf.im
+    for s in shifts:
+        re = re + s.re
+        im = im + s.im
+    return SFCache(re, im)
+
+
+def rect_rd(state: SystemState, flags: FFlags, params: RunParams, rows):
+    """RD energy restricted to pairs touching ``rows`` (plus full-system
+    self/LRC-self sums, which cancel or difference correctly)."""
+    pt = build_pairs_rect(state, flags, rows)
+    if flags.use_dreiding:
+        return pair_potentials.dreiding(state, pt, flags, params)
+    if flags.using_lj_buffered_14_7:
+        return pair_potentials.lj_buffered_14_7(state, pt, flags, params)
+    if flags.using_disp_expansion:
+        return pair_potentials.disp_expansion(state, pt, flags, params)
+    if flags.cdvdw_exp_repulsion:
+        return pair_potentials.exp_repulsion(state, pt, flags, params)
+    if flags.use_sg:
+        return pair_potentials.sg(state, pt, flags, params)
+    return pair_potentials.lj(state, pt, flags, params)
+
+
+def rect_es_real(state: SystemState, flags: FFlags, params: RunParams,
+                 rows):
+    pt = build_pairs_rect(state, flags, rows)
+    if flags.wolf:
+        return ewald.coulombic_wolf(state, pt, flags, params)
+    return ewald.coulombic_real(state, pt, flags, params)
+
+
+class DeltaResult(NamedTuple):
+    d_rd: jnp.ndarray
+    d_coul: jnp.ndarray
+    sf_new: SFCache
+
+
+def delta_energy(old_state: SystemState, new_state: SystemState,
+                 rows, sf: SFCache, flags: FFlags, params: RunParams
+                 ) -> DeltaResult:
+    """Energy difference new-old for a move that only changed the atoms in
+    ``rows`` (positions and/or their molecule's aliveness)."""
+    rd_old = rect_rd(old_state, flags, params, rows)
+    rd_new = rect_rd(new_state, flags, params, rows)
+    d_rd = rd_new - rd_old
+
+    if flags.use_sg or flags.rd_only:
+        return DeltaResult(d_rd, jnp.zeros(()), sf)
+
+    er_old = rect_es_real(old_state, flags, params, rows)
+    er_new = rect_es_real(new_state, flags, params, rows)
+    d_coul = er_new - er_old
+
+    # self term differences are full-system O(A) sums (they change only
+    # under insertion/removal)
+    d_coul = d_coul + (ewald.coulombic_self(new_state, params) -
+                       ewald.coulombic_self(old_state, params))
+
+    if uses_recip(flags):
+        sf_new = sf_apply(sf,
+                          sf_shift(old_state, flags, rows, -1.0),
+                          sf_shift(new_state, flags, rows, +1.0))
+        d_coul = d_coul + (recip_energy(sf_new, new_state, flags, params) -
+                           recip_energy(sf, old_state, flags, params))
+    else:
+        sf_new = sf
+
+    return DeltaResult(d_rd, d_coul, sf_new)

@@ -41,7 +41,7 @@ def cavity_absolute_check(state: SystemState, pt: PairTensors,
                           params: RunParams):
     """MAXVALUE if any inter-molecular pair closer than the absolute scale
     (src/System.Cavity.cpp:211-228)."""
-    mask = pt.triu & pt.alive & ~pt.same_mol
+    mask = pt.pair_once & pt.alive & ~pt.same_mol
     close = mask & (pt.rimg < params.cavity_autoreject_scale)
     return jnp.where(jnp.any(close), const.MAXVALUE, 0.0)
 

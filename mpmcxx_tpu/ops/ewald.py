@@ -51,7 +51,7 @@ def kvectors(state: SystemState, kmax: int):
 
 
 def coulombic_real_fh(flags: FFlags, params: RunParams, state: SystemState,
-                      rimg, gaussian_term, erfc_term):
+                      rimg, gaussian_term, erfc_term, pt=None):
     """FH correction for the real-space sum
     (src/System.Energy.cpp:1521-1557)."""
     alpha = params.ewald_alpha
@@ -62,7 +62,7 @@ def coulombic_real_fh(flags: FFlags, params: RunParams, state: SystemState,
     a2 = alpha * alpha
     a3 = a2 * alpha
     a4 = a3 * alpha
-    rm = _reduced_mass_kg(state)
+    rm = _reduced_mass_kg(state, pt)
     T = params.temperature
     du = -2.0 * alpha * gaussian_term / (r * jnp.sqrt(const.pi)) - erfc_term * ir2
     d2u = (4.0 / jnp.sqrt(const.pi)) * gaussian_term * (a3 + 1.0 * ir2) + \
@@ -88,8 +88,8 @@ def coulombic_real(state: SystemState, pt: PairTensors, flags: FFlags,
                    params: RunParams):
     """Real-space erfc sum minus intra-molecular screening correction."""
     alpha = params.ewald_alpha
-    q_i, q_j = state.charge[:, None], state.charge[None, :]
-    base = pt.triu & pt.alive & ~pt.frozen
+    q_i, q_j = pt.row(state.charge)[:, None], state.charge[None, :]
+    base = pt.pair_once & pt.alive & ~pt.frozen
 
     in_cut = ~(pt.rimg > state.pbc.cutoff) & ~pt.es_excluded
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
@@ -98,7 +98,7 @@ def coulombic_real(state: SystemState, pt: PairTensors, flags: FFlags,
     pot = q_i * q_j * erfc_term / r
     if flags.feynman_hibbs:
         pot = pot + coulombic_real_fh(flags, params, state, pt.rimg,
-                                      gaussian_term, erfc_term)
+                                      gaussian_term, erfc_term, pt)
     real = jnp.sum(jnp.where(base & in_cut, pot, 0.0))
 
     # screening-charge correction for excluded (same-molecule) pairs; uses
@@ -137,19 +137,19 @@ def coulombic_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
     R = state.pbc.cutoff
     iR = 1.0 / R
     erfaRoverR = erf(alpha * R) / R
-    ok = (pt.triu & pt.alive & ~pt.frozen & ~pt.es_excluded &
+    ok = (pt.pair_once & pt.alive & ~pt.frozen & ~pt.es_excluded &
           (pt.rimg < R))
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
-    q_i, q_j = state.charge[:, None], state.charge[None, :]
+    q_i, q_j = pt.row(state.charge)[:, None], state.charge[None, :]
     pot = q_i * q_j * (1.0 / r - erfaRoverR - iR * iR * (R - r))
     return jnp.sum(jnp.where(ok, pot, 0.0))
 
 
 def coulombic_nopbc(state: SystemState, pt: PairTensors):
     """Plain Coulomb, no PBC (src/System.Energy.cpp:1304-1326)."""
-    ok = pt.triu & pt.alive & ~pt.es_excluded
+    ok = pt.pair_once & pt.alive & ~pt.es_excluded
     r = jnp.where(pt.r == 0.0, 1.0, pt.r)
-    q_i, q_j = state.charge[:, None], state.charge[None, :]
+    q_i, q_j = pt.row(state.charge)[:, None], state.charge[None, :]
     return jnp.sum(jnp.where(ok, q_i * q_j / r, 0.0))
 
 
@@ -158,9 +158,9 @@ def coulombic_nopbc_gwp(state: SystemState, pt: PairTensors):
 
     Note: the reference applies this to every pair with no exclusion check.
     """
-    ok = pt.triu & pt.alive
+    ok = pt.pair_once & pt.alive
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
-    q_i, q_j = state.charge[:, None], state.charge[None, :]
+    q_i, q_j = pt.row(state.charge)[:, None], state.charge[None, :]
     ai, aj = state.gwp_alpha[:, None], state.gwp_alpha[None, :]
     spin = state.gwp_spin[:, None] | state.gwp_spin[None, :]
     pe_gwp = q_i * q_j * erf(jnp.sqrt(1.5 * (ai * ai + aj * aj)) * r) / r

@@ -33,10 +33,11 @@ def _safe_div(a, b):
     return a / jnp.where(b == 0.0, 1.0, b)
 
 
-def _reduced_mass_kg(state: SystemState):
-    """[A,A] pair reduced mass in kg from molecule masses."""
+def _reduced_mass_kg(state: SystemState, pt=None):
+    """Pair reduced mass in kg from molecule masses ([R,A] layout)."""
     mm = state.mol_mass[state.mol_id]
-    mi, mj = mm[:, None], mm[None, :]
+    mi = (pt.row(mm) if pt is not None else mm)[:, None]
+    mj = mm[None, :]
     return const.AMU2KG * _safe_div(mi * mj, mi + mj)
 
 
@@ -51,12 +52,12 @@ def _crystal_images(rd_crystal_order: int, include_origin: bool):
 
 
 def lj_fh_corr(flags: FFlags, params: RunParams, state: SystemState,
-               rimg, term12, term6, epsilon, sigrep):
+               rimg, term12, term6, epsilon, sigrep, pt=None):
     """Feynman-Hibbs 2nd/4th order LJ correction
     (src/System.Energy.cpp:1100-1148)."""
     ir = _safe_div(1.0, rimg)
     ir2, ir3, ir4 = ir * ir, ir ** 3, ir ** 4
-    rm = _reduced_mass_kg(state)
+    rm = _reduced_mass_kg(state, pt)
     T = params.temperature
     if flags.cdvdw_sig_repulsion:
         dE = -6.0 * sigrep * (2.0 * term12 - term6) * ir
@@ -87,7 +88,7 @@ def lj(state: SystemState, pt: PairTensors, flags: FFlags,
     else:
         cutoff = state.pbc.cutoff
 
-    base = pt.triu & pt.alive
+    base = pt.pair_once & pt.alive
     contrib = (base & (pt.rimg - const.SMALL_dR < cutoff) &
                (~pt.rd_excluded | bool(flags.rd_crystal)) & ~pt.frozen)
 
@@ -122,7 +123,7 @@ def lj(state: SystemState, pt: PairTensors, flags: FFlags,
 
     if flags.feynman_hibbs:
         pot = pot + lj_fh_corr(flags, params, state, pt.rimg, term12, term6,
-                               pt.epsilon, pt.sigrep)
+                               pt.epsilon, pt.sigrep, pt)
 
     if flags.cavity_autoreject:
         pot = jnp.where(pt.rimg < params.cavity_autoreject_scale * abs_sig,
@@ -145,8 +146,8 @@ def lj_lrc(state: SystemState, pt: PairTensors, flags: FFlags, cutoff):
     # pair LRC: every alive, non-frozen pair with nonzero mixed eps&sigma;
     # rd-excluded (same molecule) pairs DO contribute (reference comment).
     sp = state.spectre
-    ss_pair = sp[:, None] & sp[None, :]
-    ok = (pt.triu & pt.alive & ~pt.frozen & ~ss_pair &
+    ss_pair = pt.row(sp)[:, None] & sp[None, :]
+    ok = (pt.pair_once & pt.alive & ~pt.frozen & ~ss_pair &
           (pt.epsilon != 0.0) & (pt.sigma != 0.0))
     sig_cut = jnp.abs(pt.sigma) / cutoff
     sig3 = jnp.abs(pt.sigma) ** 3
@@ -211,7 +212,7 @@ def lj_rd_crystal_self(state: SystemState, flags: FFlags, cutoff):
 def lj_buffered_14_7(state: SystemState, pt: PairTensors, flags: FFlags,
                      params: RunParams):
     """Buffered 14-7 MMFF potential (src/System.Energy.cpp:1212-1248)."""
-    ok = (pt.triu & pt.alive & ~(pt.rimg > state.pbc.cutoff) &
+    ok = (pt.pair_once & pt.alive & ~(pt.rimg > state.pbc.cutoff) &
           ~pt.rd_excluded & ~pt.frozen)
     r_sig = _safe_div(pt.rimg, pt.sigma)
     first = (1.07 / (r_sig + 0.07)) ** 7
@@ -234,7 +235,7 @@ def sg(state: SystemState, pt: PairTensors, flags: FFlags, params: RunParams):
     Note the reference applies SG to every pair within the cutoff, with no
     exclusion/frozen checks in the inner condition.
     """
-    ok = pt.triu & pt.alive & (pt.rimg < state.pbc.cutoff)
+    ok = pt.pair_once & pt.alive & (pt.rimg < state.pbc.cutoff)
     r = pt.rimg / const.AU2ANGSTROM
     r = jnp.where(r == 0.0, 1.0, r)
     repulsive = jnp.exp(SG_ALPHA - SG_BETA * r - SG_GAMMA * r * r)
@@ -258,7 +259,7 @@ def sg(state: SystemState, pt: PairTensors, flags: FFlags, params: RunParams):
         second += expterm * frd ** 2 * 4.0 * multipole
         srd = (3.0 * r_rm * r_rm - 2.0 * r_rm) / (r * r)
         second += expterm * srd * 2.0 * multipole
-        mmass = const.AMU2KG * state.mol_mass[state.mol_id][:, None]
+        mmass = const.AMU2KG * pt.row(state.mol_mass[state.mol_id])[:, None]
         fh2 = (const.M2A2 * (const.hBar ** 2 /
                (24.0 * const.kB * params.temperature * mmass)) *
                (second + 2.0 * first / r))
@@ -273,7 +274,7 @@ def dreiding(state: SystemState, pt: PairTensors, flags: FFlags,
              params: RunParams):
     """DREIDING exp-6 potential (src/System.Energy.cpp:2098-2215)."""
     g = DREIDING_GAMMA
-    ok = (pt.triu & pt.alive & ~(pt.rimg > state.pbc.cutoff) &
+    ok = (pt.pair_once & pt.alive & ~(pt.rimg > state.pbc.cutoff) &
           ~pt.rd_excluded & ~pt.frozen)
     r_sig = _safe_div(pt.rimg, pt.sigma)
     term6 = r_sig ** (-6.0) * (g / (g - 6.0))
@@ -304,7 +305,7 @@ def disp_expansion(state: SystemState, pt: PairTensors, flags: FFlags,
     """C6/C8/C10 dispersion + Born-Mayer repulsion
     (src/System.Energy.cpp:1939-2018).  The mbvdw coupling term is applied in
     the energy dispatcher."""
-    ok = pt.triu & pt.alive & ~pt.rd_excluded & ~pt.frozen
+    ok = pt.pair_once & pt.alive & ~pt.rd_excluded & ~pt.frozen
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
     r2 = r * r
     r6 = r2 ** 3
@@ -332,7 +333,7 @@ def disp_expansion(state: SystemState, pt: PairTensors, flags: FFlags,
     if flags.rd_lrc:
         cutoff = state.pbc.cutoff
         vol = state.pbc.volume
-        lrc_ok = pt.triu & pt.alive & ~pt.frozen
+        lrc_ok = pt.pair_once & pt.alive & ~pt.frozen
         pair_lrc = -4.0 * const.pi * (
             pt.c6 / (3.0 * cutoff ** 3) + pt.c8 / (5.0 * cutoff ** 5) +
             pt.c10 / (7.0 * cutoff ** 7)) / vol
@@ -353,11 +354,11 @@ def disp_expansion(state: SystemState, pt: PairTensors, flags: FFlags,
     return energy
 
 
-def exp_fh_corr(flags, params, state, rimg, epsilon, pot):
+def exp_fh_corr(flags, params, state, rimg, epsilon, pot, pt=None):
     """FH correction for exp repulsion (src/System.Energy.cpp:2400-2437)."""
     ir = _safe_div(1.0, rimg)
     ir3 = ir ** 3
-    rm = _reduced_mass_kg(state)
+    rm = _reduced_mass_kg(state, pt)
     dE = -pot / (2.0 * jnp.where(epsilon == 0, 1.0, epsilon))
     d2E = dE / (2.0 * jnp.where(epsilon == 0, 1.0, epsilon))
     corr = (const.M2A2 * (const.hBar2 /
@@ -378,7 +379,7 @@ def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
         cutoff = 2.0 * state.pbc.cutoff * (flags.rd_crystal_order - 0.5)
     else:
         cutoff = state.pbc.cutoff
-    ok = (pt.triu & pt.alive & (pt.rimg - const.SMALL_dR < cutoff) &
+    ok = (pt.pair_once & pt.alive & (pt.rimg - const.SMALL_dR < cutoff) &
           (~pt.rd_excluded | bool(flags.rd_crystal)) & ~pt.frozen)
     eps = jnp.where(pt.epsilon == 0.0, 1.0, pt.epsilon)
     if flags.rd_crystal:
@@ -399,7 +400,7 @@ def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
         term = jnp.exp(-pt.rimg / (2.0 * eps))
     pot = pt.sigma * term
     if flags.feynman_hibbs:
-        pot = pot + exp_fh_corr(flags, params, state, pt.rimg, pt.epsilon, pot)
+        pot = pot + exp_fh_corr(flags, params, state, pt.rimg, pt.epsilon, pot, pt)
     energy = jnp.sum(jnp.where(ok, pot, 0.0))
 
     if flags.rd_crystal:
@@ -423,7 +424,7 @@ def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
         rover2e = cutoff / (2.0 * eps)
         sp = state.spectre
         ss_pair = sp[:, None] & sp[None, :]
-        lrc_ok = (pt.triu & pt.alive & ~pt.frozen & ~ss_pair &
+        lrc_ok = (pt.pair_once & pt.alive & ~pt.frozen & ~ss_pair &
                   (pt.epsilon != 0.0) & (pt.sigma != 0.0))
         pair_lrc = ((8.0 * const.pi) * jnp.exp(1.0 - rover2e) *
                     (cutoff ** 2 + 4.0 * pt.epsilon * cutoff +

@@ -2,17 +2,26 @@
 
 The reference maintains per-pair caches in linked ``Pair`` nodes
 (src/Pair.h:18-98) updated incrementally (src/System.Pairs.cpp,
-src/System.cpp:953-1279).  On TPU we recompute everything as dense batched
-tensor math: masks and mixed parameters are cheap elementwise functions of
-per-atom parameters, fully fused by XLA into the energy kernels.
+src/System.cpp:953-1279).  On TPU we recompute pair quantities as dense
+batched tensor math: masks and mixed parameters are cheap elementwise
+functions of per-atom parameters, fully fused by XLA into the energy
+kernels.
 
-Everything here returns upper-triangle-masked [A,A] tensors: pair (i,j)
-counts once with i<j, matching the reference's triangular pair walk.
+Two layouts share one code path:
+* dense [A,A]: all pairs, counted once via the upper triangle — the full
+  energy.
+* rect [S,A]: the S atom slots of one molecule against all atoms — the
+  O(S*A) slice used by incremental Delta-E move evaluation (ops/delta.py),
+  replacing the reference's ``recalculate_energy`` pair-cache trick with
+  something the TPU actually likes.
+
+``pair_once`` marks each physical pair exactly once in either layout.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,29 +35,31 @@ from ..state import SystemState
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PairTensors:
-    """Dense pair quantities for an A-atom system."""
+    """Pair quantities; leading dim is A (dense) or S (rect rows)."""
 
-    dimg: jnp.ndarray         # [A,A,3] minimum-image displacement r_i - r_j
-    rimg: jnp.ndarray         # [A,A] minimum-image distance
-    r: jnp.ndarray            # [A,A] real (unwrapped) distance
-    triu: jnp.ndarray         # [A,A] bool upper triangle (i<j)
-    alive: jnp.ndarray        # [A,A] bool both atoms' molecules alive
-    same_mol: jnp.ndarray     # [A,A] bool
-    frozen: jnp.ndarray       # [A,A] bool frozen_i && frozen_j
-    rd_excluded: jnp.ndarray  # [A,A] bool
-    es_excluded: jnp.ndarray  # [A,A] bool
-    sigma: jnp.ndarray        # [A,A] mixed
-    epsilon: jnp.ndarray      # [A,A] mixed
-    attractive_only: jnp.ndarray  # [A,A] bool
-    sigrep: jnp.ndarray       # [A,A] (cdvdw_sig_repulsion)
-    c6: jnp.ndarray           # [A,A] mixed dispersion coeffs (K*Angstrom^n)
+    dimg: jnp.ndarray         # [R,A,3] minimum-image displacement r_i - r_j
+    rimg: jnp.ndarray         # [R,A] minimum-image distance
+    r: jnp.ndarray            # [R,A] real (unwrapped) distance
+    pair_once: jnp.ndarray    # [R,A] bool: count this pair here (and alive)
+    alive: jnp.ndarray        # [R,A] bool both atoms' molecules alive
+    same_mol: jnp.ndarray     # [R,A] bool
+    frozen: jnp.ndarray       # [R,A] bool frozen_i && frozen_j
+    rd_excluded: jnp.ndarray  # [R,A] bool
+    es_excluded: jnp.ndarray  # [R,A] bool
+    sigma: jnp.ndarray        # [R,A] mixed
+    epsilon: jnp.ndarray      # [R,A] mixed
+    attractive_only: jnp.ndarray  # [R,A] bool
+    sigrep: jnp.ndarray       # [R,A] (cdvdw_sig_repulsion)
+    c6: jnp.ndarray           # [R,A] mixed dispersion coeffs (K*Angstrom^n)
     c8: jnp.ndarray
     c10: jnp.ndarray
+    rows: Optional[jnp.ndarray] = None  # [R] atom indices (rect) or None
 
-
-def _triu_mask(A):
-    i = jnp.arange(A)
-    return i[:, None] < i[None, :]
+    def row(self, arr):
+        """Gather a per-atom array onto the row axis."""
+        if self.rows is None:
+            return arr
+        return arr[jnp.clip(self.rows, 0, arr.shape[0] - 1)]
 
 
 def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
@@ -79,8 +90,6 @@ def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
         eps_wh = jnp.sqrt(eps_i * eps_j) * 2.0 * si3 * sj3 / jnp.where(
             si6 + sj6 == 0.0, 1.0, si6 + sj6)
         epsilon = jnp.where(sig_zero, jnp.sqrt(eps_i * eps_j), eps_wh)
-        # attractive_only pairs keep sqrt-mixed epsilon? reference leaves
-        # epsilon untouched in that branch; emulate by using WH value.
         epsilon = jnp.where(attractive_only & ~sig_zero, eps_wh, epsilon)
     elif flags.halgren_mixing:
         s2 = sig_i * sig_i + sig_j * sig_j
@@ -151,10 +160,19 @@ def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
     return sigma, epsilon, attractive_only, sigrep, c6m, c8m, c10m
 
 
-def build_pairs(state: SystemState, flags: FFlags) -> PairTensors:
-    """Compute dense pair tensors for the current configuration."""
+def _build(state: SystemState, flags: FFlags, rows) -> PairTensors:
     A = state.n_atom_slots
-    d = state.pos[:, None, :] - state.pos[None, :, :]
+    if rows is None:
+        g = lambda arr: arr
+        pos_r = state.pos
+        row_valid = jnp.ones(A, dtype=bool)
+    else:
+        safe = jnp.clip(rows, 0, A - 1)
+        g = lambda arr: arr[safe]
+        pos_r = state.pos[safe]
+        row_valid = rows >= 0
+
+    d = pos_r[:, None, :] - state.pos[None, :, :]
     dimg, rimg = minimum_image_disp(d, state.pbc.basis, state.pbc.reciprocal)
     r = jnp.linalg.norm(d, axis=-1)
     # NaN-guard mirror of src/System.cpp:1265-1270: bad image -> use real
@@ -163,15 +181,15 @@ def build_pairs(state: SystemState, flags: FFlags) -> PairTensors:
     dimg = jnp.where(bad[..., None], d, dimg)
 
     atom_alive = state.atom_alive()
-    alive = atom_alive[:, None] & atom_alive[None, :]
-    same_mol = state.mol_id[:, None] == state.mol_id[None, :]
-    frozen = state.frozen[:, None] & state.frozen[None, :]
+    alive = (g(atom_alive) & row_valid)[:, None] & atom_alive[None, :]
+    same_mol = g(state.mol_id)[:, None] == state.mol_id[None, :]
+    frozen = g(state.frozen)[:, None] & state.frozen[None, :]
 
-    eps_i, eps_j = state.epsilon[:, None], state.epsilon[None, :]
-    sig_i, sig_j = state.sigma[:, None], state.sigma[None, :]
-    c6_i, c6_j = state.c6[:, None], state.c6[None, :]
-    c8_i, c8_j = state.c8[:, None], state.c8[None, :]
-    c10_i, c10_j = state.c10[:, None], state.c10[None, :]
+    eps_i, eps_j = g(state.epsilon)[:, None], state.epsilon[None, :]
+    sig_i, sig_j = g(state.sigma)[:, None], state.sigma[None, :]
+    c6_i, c6_j = g(state.c6)[:, None], state.c6[None, :]
+    c8_i, c8_j = g(state.c8)[:, None], state.c8[None, :]
+    c10_i, c10_j = g(state.c10)[:, None], state.c10[None, :]
 
     # exclusions (src/System.cpp:1042-1064)
     lj_null = (eps_i == 0.0) | (sig_i == 0.0) | (eps_j == 0.0) | (sig_j == 0.0)
@@ -179,27 +197,51 @@ def build_pairs(state: SystemState, flags: FFlags) -> PairTensors:
                (c6_j == 0.0) & (c8_j == 0.0) & (c10_j == 0.0))
     rd_excluded = jnp.where(same_mol & (not flags.gwp), True,
                             lj_null & cn_null)
-    q_i, q_j = state.charge[:, None], state.charge[None, :]
+    q_i, q_j = g(state.charge)[:, None], state.charge[None, :]
     es_excluded = jnp.where(same_mol & (not flags.gwp), True,
                             (q_i == 0.0) | (q_j == 0.0))
 
     sigma, epsilon, attractive_only, sigrep, c6m, c8m, c10m = mix_lj(
         flags, eps_i, eps_j, sig_i, sig_j,
-        state.omega[:, None], state.omega[None, :],
-        state.polarizability[:, None], state.polarizability[None, :],
+        g(state.omega)[:, None], state.omega[None, :],
+        g(state.polarizability)[:, None], state.polarizability[None, :],
         c6_i, c6_j, c8_i, c8_j, c10_i, c10_j)
 
     # SPECTRE overrides (src/System.cpp:1181-1194)
     if flags.spectre:
-        sp_i, sp_j = state.spectre[:, None], state.spectre[None, :]
+        sp_i, sp_j = g(state.spectre)[:, None], state.spectre[None, :]
         both = sp_i & sp_j
         one = sp_i ^ sp_j
         rd_excluded = jnp.where(both, False, jnp.where(one, True, rd_excluded))
         es_excluded = jnp.where(both, True, jnp.where(one, False, es_excluded))
 
+    if rows is None:
+        idx = jnp.arange(A)
+        pair_once = (idx[:, None] < idx[None, :]) & alive
+    else:
+        # count each pair touching the row molecule exactly once: rows vs
+        # other molecules always; intra-molecular only for col > row
+        safe = jnp.clip(rows, 0, A - 1)
+        col = jnp.arange(A)[None, :]
+        pair_once = (row_valid[:, None] & alive &
+                     (~same_mol | (col > safe[:, None])))
+
     return PairTensors(
         dimg=dimg, rimg=rimg, r=r,
-        triu=_triu_mask(A), alive=alive, same_mol=same_mol, frozen=frozen,
+        pair_once=pair_once, alive=alive, same_mol=same_mol, frozen=frozen,
         rd_excluded=rd_excluded, es_excluded=es_excluded,
         sigma=sigma, epsilon=epsilon, attractive_only=attractive_only,
-        sigrep=sigrep, c6=c6m, c8=c8m, c10=c10m)
+        sigrep=sigrep, c6=c6m, c8=c8m, c10=c10m,
+        rows=rows)
+
+
+def build_pairs(state: SystemState, flags: FFlags) -> PairTensors:
+    """Dense [A,A] pair tensors for the full-energy path."""
+    return _build(state, flags, None)
+
+
+def build_pairs_rect(state: SystemState, flags: FFlags,
+                     rows) -> PairTensors:
+    """[S,A] pair tensors for the atoms in ``rows`` (padded with -1) against
+    all atoms — the Delta-E slice."""
+    return _build(state, flags, rows)

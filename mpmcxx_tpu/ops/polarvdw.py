@@ -86,7 +86,7 @@ def fh_vdw_corr(state: SystemState, pt: PairTensors, flags: FFlags,
     """FH correction by 5-point finite differencing of e2body
     (src/System.Energy.cpp:630-689)."""
     H = 0.01
-    mask = (pt.triu & pt.alive & ~pt.frozen & ~pt.same_mol &
+    mask = (pt.pair_once & pt.alive & ~pt.frozen & ~pt.same_mol &
             ~(pt.rimg > state.pbc.cutoff) &
             (state.polarizability[:, None] != 0.0) &
             (state.polarizability[None, :] != 0.0) &
@@ -98,7 +98,7 @@ def fh_vdw_corr(state: SystemState, pt: PairTensors, flags: FFlags,
     d2v = (E[3] - 2.0 * E[2] + E[1]) / (H * H)
     d3v = (E[4] - 2 * E[3] + 2 * E[1] - E[0]) / (2 * H ** 3)
     d4v = (E[4] - 4 * E[3] + 6 * E[2] - 4 * E[1] + E[0]) / H ** 4
-    rm = _reduced_mass_kg(state)
+    rm = _reduced_mass_kg(state, pt)
     T = params.temperature
     rs = jnp.where(r == 0.0, 1.0, r)
     corr = (const.METER2ANGSTROM ** 2 *
@@ -118,12 +118,12 @@ def fh_vdw_corr_2be(state: SystemState, pt: PairTensors, flags: FFlags,
     a_j = state.polarizability[None, :]
     w_i = state.omega[:, None]
     w_j = state.omega[None, :]
-    mask = (pt.triu & pt.alive & ~pt.frozen & ~pt.same_mol &
+    mask = (pt.pair_once & pt.alive & ~pt.frozen & ~pt.same_mol &
             ~(pt.rimg > state.pbc.cutoff) &
             (a_i != 0.0) & (a_j != 0.0) & (w_i != 0.0) & (w_j != 0.0))
     cC = (1.5 * const.c_hBar * _safe_div(w_i * w_j, w_i + w_j) *
           const.au2invseconds * a_i * a_j)
-    rm = _reduced_mass_kg(state)
+    rm = _reduced_mass_kg(state, pt)
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
     T = params.temperature
     dv = 6.0 * cC * r ** (-7.0)
@@ -147,7 +147,7 @@ def lr_vdw_corr(state: SystemState, pt: PairTensors, params: RunParams):
     a_j = state.polarizability[None, :]
     w_i = state.omega[:, None]
     w_j = state.omega[None, :]
-    mask = (pt.triu & pt.alive & ~pt.frozen &
+    mask = (pt.pair_once & pt.alive & ~pt.frozen &
             (a_i != 0.0) & (a_j != 0.0) & (w_i != 0.0) & (w_j != 0.0))
     cC = (1.5 * const.c_hBar * _safe_div(w_i * w_j, w_i + w_j) *
           const.au2invseconds * a_i * a_j)

@@ -23,6 +23,7 @@ from .io import output as out_io
 from .io import pqr as pqr_io
 from .mc import chain as chain_mod
 from .mc.averages import AvgObservables, nodestats_from_counters
+from .ops import delta as delta_mod
 from .state import SystemState, build_state
 
 
@@ -66,6 +67,12 @@ class Simulation:
         self.flags = cfg.to_flags()
         self.params = cfg.to_params()
 
+        # incremental Delta-E stepping whenever the energy is pairwise
+        mol_id = np.asarray(self.state.mol_id)
+        counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
+        max_mol_atoms = int(counts.max()) if len(counts) else 1
+        incremental = delta_mod.supports(cfg.to_flags())
+
         fug = cfg.fugacities[0] if cfg.fugacities else cfg.pressure
         self.opts = chain_mod.MCOptions(
             ensemble=cfg.ensemble,
@@ -90,6 +97,11 @@ class Simulation:
             rd_anharmonic=cfg.rd_anharmonic,
             gwp=cfg.gwp,
             gwp_probability=cfg.gwp_probability,
+            cavity_bias=cfg.cavity_bias,
+            cavity_grid_size=cfg.cavity_grid_size,
+            cavity_radius=cfg.cavity_radius,
+            incremental=incremental,
+            max_mol_atoms=max_mol_atoms,
         )
 
         self.avg = AvgObservables()
@@ -98,6 +110,8 @@ class Simulation:
                                           self.opts, seed)
         self.run_chunk = chain_mod.make_chunk_runner(
             self.flags, self.params, self.opts, cfg.corrtime)
+        self.refresh = chain_mod.make_refresher(self.flags, self.params,
+                                                self.opts)
 
     @staticmethod
     def _resolve_basis(cfg: SimConfig) -> np.ndarray:
@@ -168,6 +182,9 @@ class Simulation:
             else:
                 runner = self.run_chunk
             self.carry, stats = runner(self.carry)
+            # full recompute every corrtime: kills Delta-E drift (the
+            # flag_all_pairs role) and refreshes observables exactly
+            self.carry = self.refresh(self.carry)
             step += n
 
             acc = np.asarray(self.carry.stats.accept)
