@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from .. import constants as const
+from ..runtime import native
 from ..state import AtomRecord
 
 
@@ -43,6 +44,34 @@ def read_pqr(path_or_text: str, is_text: bool = False,
     src/System.cpp:592.
     """
     text = path_or_text if is_text else open(path_or_text).read()
+    parsed = native.pqr_parse_native(text)
+    if parsed is not None:
+        atoms = []
+        for i in range(len(parsed["atomtype"])):
+            flag = parsed["flag"][i].upper()
+            p = parsed["params"][i]
+            rec = AtomRecord(
+                atomtype=parsed["atomtype"][i],
+                moleculetype=parsed["moleculetype"][i],
+                molecule_id=int(parsed["molecule_id"][i]),
+                frozen=flag == "F", adiabatic=flag == "A",
+                spectre=flag == "S", target=flag == "T",
+                x=float(parsed["pos"][i][0]), y=float(parsed["pos"][i][1]),
+                z=float(parsed["pos"][i][2]),
+                mass=p[0], charge=p[1] * const.E2REDUCED,
+                polarizability=p[2], epsilon=p[3], sigma=p[4], omega=p[5],
+                gwp_alpha=p[6], c6=p[7], c8=p[8], c10=p[9], c9=p[10])
+            if cdvdw_sig_repulsion and rec.epsilon != 1.0:
+                rec.epsilon = 1.0
+            elif polarvdw and not cdvdw_exp_repulsion and rec.sigma != 1.0:
+                rec.sigma = 1.0
+            if rec.frozen:
+                rec.charge *= scale_charge
+            atoms.append(rec)
+        if not atoms:
+            raise ValueError("no atoms found in PQR input")
+        return atoms
+
     atoms: list[AtomRecord] = []
     for line in text.splitlines():
         tok = line.split()
@@ -142,6 +171,14 @@ def format_pqr(atoms_data: dict, basis: np.ndarray, wrapall: bool = True,
     out = [_cryst1(basis)]
     n = len(atoms_data["atomtype"])
     mol_seq = atoms_data["molecule_id"]
+    if not independent_particle:
+        native_block = native.pqr_format_native(atoms_data, ext)
+    else:
+        native_block = None
+    if native_block is not None:
+        out.append(native_block)
+        i = n
+        return _append_footer(out, basis, atoms_data, wrapall, ext)
     i = 0
     for idx in range(n):
         i += 1
@@ -160,6 +197,12 @@ def format_pqr(atoms_data: dict, basis: np.ndarray, wrapall: bool = True,
             line.append(f" {atoms_data[key][idx]:8.5f}")
         out.append("".join(line) + "\n")
 
+    return _append_footer(out, basis, atoms_data, wrapall, ext)
+
+
+def _append_footer(out, basis, atoms_data, wrapall, ext):
+    n = len(atoms_data["atomtype"])
+    mol_seq = atoms_data["molecule_id"]
     if wrapall:
         # box-corner virtual particles + CONECT edges
         atom_box = n + 1
@@ -197,9 +240,12 @@ def format_pqr(atoms_data: dict, basis: np.ndarray, wrapall: bool = True,
 
 
 def write_pqr_with_rotation(path: str, text: str) -> None:
-    """Write, first rotating an existing file to ``<path>.last``
-    (src/System.Output.cpp:880-886)."""
+    """Write with ``.last`` rotation (src/System.Output.cpp:880-886) —
+    queued on the native async writer thread when available so restart
+    output never stalls the MC driver."""
     if path == "/dev/null":
+        return
+    if native.async_write(path, text, rotate_last=True):
         return
     if os.path.exists(path):
         try:
@@ -272,6 +318,11 @@ def state_to_atoms_data(state, meta, wrapall: bool = True) -> dict:
 
 def state_bool(arr, i) -> bool:
     return bool(np.asarray(arr)[i])
+
+
+def drain() -> None:
+    """Block until all queued async writes are on disk."""
+    native.async_drain()
 
 
 def write_state_pqr(path: str, state, meta, wrapall: bool = True,

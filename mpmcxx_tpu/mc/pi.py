@@ -707,6 +707,7 @@ class PISimulation:
                 self._display(carry)
 
         self._write_finals(carry)
+        pqr_io.drain()
         if fp_energy:
             fp_energy.close()
         self.carry = carry

@@ -213,6 +213,7 @@ class Simulation:
             self.fp_energy.close()
         if self.fp_energy_csv:
             self.fp_energy_csv.close()
+        pqr_io.drain()
         return self.avg
 
     def _display(self):

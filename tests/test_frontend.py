@@ -90,6 +90,7 @@ class TestPQR:
         state, meta = build_state(atoms, np.eye(3) * 100.0)
         p = tmp_path / "out.pqr"
         pqr.write_state_pqr(str(p), state, meta, wrapall=True)
+        pqr.drain()
         back = pqr.read_pqr(str(p))
         assert len(back) == 2
         assert back[0].sigma == pytest.approx(3.405)
@@ -97,6 +98,7 @@ class TestPQR:
         np.testing.assert_allclose(basis, np.eye(3) * 100.0)
         # .last rotation
         pqr.write_state_pqr(str(p), state, meta)
+        pqr.drain()
         assert (tmp_path / "out.pqr.last").exists()
 
 
