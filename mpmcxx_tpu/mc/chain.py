@@ -62,6 +62,10 @@ class MCOptions:
     # static rect row count (largest movable molecule).
     incremental: bool = False
     max_mol_atoms: int = 1
+    # use the O(B*A) row-block tiling for full recomputes (init/refresh and
+    # volume moves) — required above ~2k atoms where dense [A,A] tensors
+    # would blow out HBM
+    blocked_energy: bool = False
 
 
 class NodeStats(NamedTuple):
@@ -272,7 +276,11 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                 return rd, coul, pen, d.sf_new
 
             def eval_full(ns):
-                ebf = energy_breakdown(ns, flags, params)
+                if opts.blocked_energy:
+                    from ..ops.energy import energy_breakdown_blocked
+                    ebf = energy_breakdown_blocked(ns, flags, params)
+                else:
+                    ebf = energy_breakdown(ns, flags, params)
                 sf_new = delta_mod.sf_compute(ns, flags, params) \
                     if delta_mod.uses_recip(flags) else carry.sf
                 return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new
@@ -377,7 +385,12 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
                opts: MCOptions, seed: int) -> MCCarry:
     """Initial energy + carry (mc_initial_energy,
     src/System.MonteCarlo.cpp:158-173)."""
-    eb = energy_breakdown(state, flags, params)
+    if opts.blocked_energy:
+        from ..ops.energy import energy_breakdown_blocked
+        eb = jax.jit(lambda s: energy_breakdown_blocked(s, flags, params))(
+            state)
+    else:
+        eb = energy_breakdown(state, flags, params)
     obs = observables_from_breakdown(state, eb, flags, params, opts.ensemble)
     obs = dataclasses.replace(
         obs, energy=jnp.where(jnp.isfinite(obs.energy), obs.energy,
@@ -409,7 +422,11 @@ def make_refresher(flags: FFlags, base_params: RunParams, opts: MCOptions):
     def refresh(carry: MCCarry) -> MCCarry:
         params = dataclasses.replace(base_params,
                                      temperature=carry.temperature)
-        eb = energy_breakdown(carry.state, flags, params)
+        if opts.blocked_energy:
+            from ..ops.energy import energy_breakdown_blocked
+            eb = energy_breakdown_blocked(carry.state, flags, params)
+        else:
+            eb = energy_breakdown(carry.state, flags, params)
         obs = observables_from_breakdown(carry.state, eb, flags, params,
                                          opts.ensemble)
         if opts.incremental and delta_mod.uses_recip(flags):

@@ -41,6 +41,7 @@ from ..config.validate import validate
 from ..flags import FFlags, RunParams
 from ..io import output as out_io
 from ..io import pqr as pqr_io
+from ..io.trajectory import PIFrameWriter
 from ..ops.energy import energy_breakdown
 from ..state import SystemState, build_state
 from . import moves
@@ -671,6 +672,9 @@ class PISimulation:
         if cfg.energy_output and cfg.energy_output != "/dev/null":
             fp_energy = out_io.open_energy_file(cfg.energy_output)
 
+        # all-bead XYZ frames (write_PI_frame, :699-729), enabled by -xyz
+        frames = PIFrameWriter(getattr(self, "xyz_path", ""))
+
         perf = out_io.PerformanceTimer(cfg.numsteps)
         pmass = self._particle_mass(carry)
 
@@ -701,6 +705,7 @@ class PISimulation:
                                          float(carry.bf))
             self.avg.update_nodestats(ns)
             corrtime_io(step)
+            frames.write(carry.stack, self.meta)
             self._write_restarts(carry)
             if not self.quiet:
                 perf.report(step, self.out)

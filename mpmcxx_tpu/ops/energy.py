@@ -19,7 +19,7 @@ from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
 from . import ewald, pair_potentials, polar, polarvdw, three_body
-from .pairwise import PairTensors, build_pairs
+from .pairwise import PairTensors, build_pairs, build_pairs_block
 
 
 class EnergyBreakdown(NamedTuple):
@@ -116,6 +116,98 @@ def energy_breakdown(state: SystemState, flags: FFlags,
         three_body=tb, kinetic=kin, mu=mu,
         polarization_iterations=pol_iters, iterator_failed=failed,
         dipole_rrms=rrms, cavity_penalty=pen)
+
+
+def energy_breakdown_blocked(state: SystemState, flags: FFlags,
+                             params: RunParams,
+                             block: int = 256) -> EnergyBreakdown:
+    """Large-system full energy via O(B*A)-memory row-block tiling.
+
+    Scans [B,A] tiles of the dense pair triangle instead of materialising
+    [A,A] tensors (which at 10k atoms in f64 would need ~1 GB per tensor).
+    Supports the strictly-pairwise + k-space flag set (same condition as
+    ops.delta.supports); polarization and other dense-only subsystems
+    raise.
+    """
+    from .delta import supports as delta_supports
+    if not delta_supports(flags):
+        raise ValueError("blocked energy requires a strictly pairwise "
+                         "energy (no polarization/polarvdw/3-body/"
+                         "rd_crystal/GWP/SPECTRE)")
+    A = state.n_atom_slots
+    nblocks = -(-A // block)
+
+    def rd_pair(pt):
+        if flags.use_dreiding:
+            return pair_potentials.dreiding(state, pt, flags, params)
+        if flags.using_lj_buffered_14_7:
+            return pair_potentials.lj_buffered_14_7(state, pt, flags, params)
+        if flags.using_disp_expansion:
+            return pair_potentials.disp_expansion(state, pt, flags, params,
+                                                  pair_only=True)
+        if flags.cdvdw_exp_repulsion:
+            return pair_potentials.exp_repulsion(state, pt, flags, params,
+                                                 pair_only=True)
+        if flags.use_sg:
+            return pair_potentials.sg(state, pt, flags, params)
+        return pair_potentials.lj(state, pt, flags, params, pair_only=True)
+
+    use_es = not (flags.use_sg or flags.rd_only)
+
+    def body(carry, b):
+        rd_acc, es_acc, pen_acc = carry
+        rows_f = b * block + jnp.arange(block)
+        rows = jnp.where(rows_f < A, rows_f, -1)
+        pt = build_pairs_block(state, flags, rows)
+        rd_acc = rd_acc + rd_pair(pt)
+        if use_es:
+            if flags.wolf:
+                es_acc = es_acc + ewald.coulombic_wolf(state, pt, flags,
+                                                       params)
+            else:
+                es_acc = es_acc + ewald.coulombic_real(state, pt, flags,
+                                                       params)
+        if flags.cavity_autoreject_absolute:
+            pen_acc = pen_acc | jnp.any(
+                pt.pair_once & ~pt.same_mol &
+                (pt.rimg < params.cavity_autoreject_scale))
+        return (rd_acc, es_acc, pen_acc), None
+
+    (rd, es, pen_hit), _ = jax.lax.scan(
+        body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros((), bool)),
+        jnp.arange(nblocks))
+
+    # whole-system self terms, added exactly once
+    if flags.rd_lrc and not (flags.use_sg or flags.use_dreiding or
+                             flags.using_lj_buffered_14_7):
+        # reuse the self-only part: pair part with an empty row set
+        empty = build_pairs_block(state, flags,
+                                  -jnp.ones(1, dtype=jnp.int32))
+        if flags.using_disp_expansion:
+            rd = rd + pair_potentials.disp_expansion(state, empty, flags,
+                                                     params)
+        elif flags.cdvdw_exp_repulsion:
+            rd = rd + pair_potentials.exp_repulsion(state, empty, flags,
+                                                    params)
+        elif not flags.rd_anharmonic:
+            rd = rd + pair_potentials.lj(state, empty, flags, params)
+
+    coul = jnp.zeros(())
+    if use_es:
+        coul = es
+        if not flags.wolf:
+            coul = coul + ewald.coulombic_reciprocal(state, flags, params) \
+                + ewald.coulombic_self(state, params)
+
+    z = jnp.zeros(())
+    total = rd + coul
+    pen = jnp.where(pen_hit, const.MAXVALUE, 0.0) \
+        if flags.cavity_autoreject_absolute else z
+    return EnergyBreakdown(
+        total=total, rd=rd, coulombic=coul, polarization=z, vdw=z,
+        three_body=z, kinetic=z, mu=state.mu * 0.0,
+        polarization_iterations=z, iterator_failed=jnp.zeros((), bool),
+        dipole_rrms=z, cavity_penalty=pen)
 
 
 def total_energy(state: SystemState, flags: FFlags,

@@ -81,7 +81,7 @@ def lj_fh_corr(flags: FFlags, params: RunParams, state: SystemState,
 
 
 def lj(state: SystemState, pt: PairTensors, flags: FFlags,
-       params: RunParams) -> jnp.ndarray:
+       params: RunParams, pair_only: bool = False) -> jnp.ndarray:
     """Lennard-Jones energy (src/System.Energy.cpp:897-1032)."""
     if flags.rd_crystal:
         cutoff = 2.0 * state.pbc.cutoff * (flags.rd_crystal_order - 0.5)
@@ -132,15 +132,16 @@ def lj(state: SystemState, pt: PairTensors, flags: FFlags,
     energy = jnp.sum(jnp.where(contrib, pot, 0.0))
 
     if flags.rd_lrc:
-        energy += lj_lrc(state, pt, flags, cutoff)
+        energy += lj_lrc(state, pt, flags, cutoff, pair_only=pair_only)
 
-    if flags.rd_crystal:
+    if flags.rd_crystal and not pair_only:
         energy += lj_rd_crystal_self(state, flags, cutoff)
 
     return energy
 
 
-def lj_lrc(state: SystemState, pt: PairTensors, flags: FFlags, cutoff):
+def lj_lrc(state: SystemState, pt: PairTensors, flags: FFlags, cutoff,
+           pair_only: bool = False):
     """Pair + self long-range corrections (src/System.Energy.cpp:1036-1096)."""
     vol = state.pbc.volume
     # pair LRC: every alive, non-frozen pair with nonzero mixed eps&sigma;
@@ -161,6 +162,8 @@ def lj_lrc(state: SystemState, pt: PairTensors, flags: FFlags, cutoff):
         pair_lrc = ((16.0 / 3.0) * const.pi * pt.epsilon * sig3 *
                     ((1.0 / 3.0) * sig_cut9 - sig_cut3) / vol)
     total = jnp.sum(jnp.where(ok, pair_lrc, 0.0))
+    if pair_only:
+        return total
 
     # self LRC per alive atom
     aok = (state.atom_alive() & (state.sigma != 0.0) & (state.epsilon != 0.0)
@@ -301,7 +304,7 @@ def tt_damping(n: int, br):
 
 
 def disp_expansion(state: SystemState, pt: PairTensors, flags: FFlags,
-                   params: RunParams):
+                   params: RunParams, pair_only: bool = False):
     """C6/C8/C10 dispersion + Born-Mayer repulsion
     (src/System.Energy.cpp:1939-2018).  The mbvdw coupling term is applied in
     the energy dispatcher."""
@@ -338,6 +341,8 @@ def disp_expansion(state: SystemState, pt: PairTensors, flags: FFlags,
             pt.c6 / (3.0 * cutoff ** 3) + pt.c8 / (5.0 * cutoff ** 5) +
             pt.c10 / (7.0 * cutoff ** 7)) / vol
         energy += jnp.sum(jnp.where(lrc_ok, pair_lrc, 0.0))
+        if pair_only:
+            return energy
         # self LRC (src/System.Energy.cpp:2056-2078) — uses *unmixed* atomic
         # coefficients in a.u.; reference uses atom_ptr->c6 directly.
         if flags.extrapolate_disp_coeffs:
@@ -373,7 +378,7 @@ def exp_fh_corr(flags, params, state, rimg, epsilon, pot, pt=None):
 
 
 def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
-                  params: RunParams):
+                  params: RunParams, pair_only: bool = False):
     """Buckingham exponential repulsion (src/System.Energy.cpp:2275-2368)."""
     if flags.rd_crystal:
         cutoff = 2.0 * state.pbc.cutoff * (flags.rd_crystal_order - 0.5)
@@ -403,7 +408,7 @@ def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
         pot = pot + exp_fh_corr(flags, params, state, pt.rimg, pt.epsilon, pot, pt)
     energy = jnp.sum(jnp.where(ok, pot, 0.0))
 
-    if flags.rd_crystal:
+    if flags.rd_crystal and not pair_only:
         # self term (src/System.Energy.cpp:2441-2469)
         n = flags.rd_crystal_order
         rng = np.arange(-n, n + 1)
@@ -430,6 +435,8 @@ def exp_repulsion(state: SystemState, pt: PairTensors, flags: FFlags,
                     (cutoff ** 2 + 4.0 * pt.epsilon * cutoff +
                      8.0 * pt.epsilon ** 2) * pt.sigma / vol)
         energy += jnp.sum(jnp.where(lrc_ok, pair_lrc, 0.0))
+        if pair_only:
+            return energy
         aeps = jnp.where(state.epsilon == 0.0, 1.0, state.epsilon)
         arover = cutoff / (2.0 * aeps)
         self_lrc = ((8.0 * const.pi) * jnp.exp(1.0 - arover) *

@@ -160,7 +160,8 @@ def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
     return sigma, epsilon, attractive_only, sigrep, c6m, c8m, c10m
 
 
-def _build(state: SystemState, flags: FFlags, rows) -> PairTensors:
+def _build(state: SystemState, flags: FFlags, rows,
+           block_global: bool = False) -> PairTensors:
     A = state.n_atom_slots
     if rows is None:
         g = lambda arr: arr
@@ -218,6 +219,12 @@ def _build(state: SystemState, flags: FFlags, rows) -> PairTensors:
     if rows is None:
         idx = jnp.arange(A)
         pair_once = (idx[:, None] < idx[None, :]) & alive
+    elif block_global:
+        # tile of the dense triangle: global col > row rule, so summing
+        # over a block partition of all atoms counts each pair once
+        safe = jnp.clip(rows, 0, A - 1)
+        col = jnp.arange(A)[None, :]
+        pair_once = row_valid[:, None] & alive & (col > safe[:, None])
     else:
         # count each pair touching the row molecule exactly once: rows vs
         # other molecules always; intra-molecular only for col > row
@@ -245,3 +252,11 @@ def build_pairs_rect(state: SystemState, flags: FFlags,
     """[S,A] pair tensors for the atoms in ``rows`` (padded with -1) against
     all atoms — the Delta-E slice."""
     return _build(state, flags, rows)
+
+
+def build_pairs_block(state: SystemState, flags: FFlags,
+                      rows) -> PairTensors:
+    """[B,A] tile of the dense upper triangle: summing any block partition
+    of the atom axis visits every pair exactly once — the O(B*A)-memory
+    tiling used for large-system full energies."""
+    return _build(state, flags, rows, block_global=True)

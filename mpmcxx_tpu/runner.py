@@ -19,10 +19,13 @@ from . import constants as const
 from .config.parser import read_config
 from .config.schema import SimConfig
 from .config.validate import validate
+from .io import histogram as hist_io
 from .io import output as out_io
 from .io import pqr as pqr_io
+from .io import trajectory as traj_io
 from .mc import chain as chain_mod
 from .mc.averages import AvgObservables, nodestats_from_counters
+from .mc.sorbate import SorbateTracker
 from .ops import delta as delta_mod
 from .state import SystemState, build_state
 
@@ -72,6 +75,7 @@ class Simulation:
         counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
         max_mol_atoms = int(counts.max()) if len(counts) else 1
         incremental = delta_mod.supports(cfg.to_flags())
+        blocked = incremental and self.state.n_atom_slots > 1024
 
         fug = cfg.fugacities[0] if cfg.fugacities else cfg.pressure
         self.opts = chain_mod.MCOptions(
@@ -102,9 +106,19 @@ class Simulation:
             cavity_radius=cfg.cavity_radius,
             incremental=incremental,
             max_mol_atoms=max_mol_atoms,
+            blocked_energy=blocked,
         )
 
         self.avg = AvgObservables()
+        # multi-sorbate stats when >1 movable species present
+        mt = np.asarray(self.state.mol_type)
+        mmass = np.asarray(self.state.mol_mass)
+        mov = ~np.asarray(self.state.mol_frozen) & \
+            ~np.asarray(self.state.mol_adiabatic) & \
+            ~np.asarray(self.state.mol_target)
+        self.sorbates = SorbateTracker(self.meta["species"], mt, mmass, mov)
+        if self.sorbates.count <= 1:
+            self.sorbates = None
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
         self.carry = chain_mod.init_carry(self.state, self.flags, self.params,
                                           self.opts, seed)
@@ -147,6 +161,17 @@ class Simulation:
                         fugacity=(self.cfg.fugacities[0]
                                   if self.cfg.fugacities else None),
                         pressure=self.cfg.pressure)
+        if self.sorbates is not None:
+            fug = (self.cfg.fugacities[0] if self.cfg.fugacities
+                   else self.cfg.pressure)
+            self.sorbates.update(
+                np.asarray(self.carry.state.mol_alive),
+                volume=float(self.carry.state.pbc.volume),
+                frozen_mass=obs["frozen_mass"],
+                total_mass=obs["total_mass"],
+                free_volume=self.cfg.free_volume,
+                pressure_or_fugacity=fug,
+                temperature=self.cfg.temperature)
         if self.fp_energy:
             out_io.write_observables(self.fp_energy, step, obs, T)
         if self.fp_energy_csv:
@@ -164,6 +189,20 @@ class Simulation:
                 cfg.energy_output_csv, csv=True)
 
         perf = out_io.PerformanceTimer(cfg.numsteps)
+
+        # population histogram (src/System.Histogram.cpp)
+        self.hist = None
+        if cfg.calc_hist:
+            self.hist = hist_io.PopulationHistogram(
+                np.asarray(self.state.pbc.basis), cfg.hist_resolution)
+
+        # frozen-lattice OpenDX (write_frozen, src/System.Output.cpp:85-116)
+        if cfg.frozen_output and cfg.frozen_output != "/dev/null":
+            with open(cfg.frozen_output, "w") as f:
+                hist_io.write_frozen_dx(f, self.state, self.meta,
+                                        cfg.max_bondlength)
+
+        self._first_frame = True
 
         # initial-state output (setup_mpi, src/System.MonteCarlo.cpp:178-206)
         self._corrtime_io(0)
@@ -201,6 +240,27 @@ class Simulation:
                 pqr_io.write_state_pqr(cfg.pqr_restart, self.carry.state,
                                        self.meta, wrapall=cfg.wrapall,
                                        long_output=cfg.long_output)
+            if cfg.traj_output and cfg.traj_output != "/dev/null":
+                traj_io.append_traj_frame(cfg.traj_output, self.carry.state,
+                                          self.meta, step,
+                                          wrapall=cfg.wrapall,
+                                          long_output=cfg.long_output,
+                                          first=self._first_frame)
+                self._first_frame = False
+            if self.hist is not None:
+                st = self.carry.state
+                self.hist.zero()
+                self.hist.accumulate(np.asarray(st.mol_com()),
+                                     np.asarray(st.mol_frozen) |
+                                     ~np.asarray(st.mol_alive))
+                self.hist.update_root()
+                if cfg.histogram_output and \
+                        cfg.histogram_output != "/dev/null":
+                    with open(cfg.histogram_output, "w") as f:
+                        self.hist.write_dx(f)
+            if cfg.polarization:
+                traj_io.write_dipoles(cfg.dipole_output, self.carry.state,
+                                      first=(step <= cfg.corrtime))
             if not self.quiet:
                 perf.report(step, self.out)
                 self._display()
@@ -221,7 +281,12 @@ class Simulation:
             self.avg, temperature=float(self.carry.temperature),
             simulated_annealing=self.cfg.simulated_annealing,
             gwp=self.cfg.gwp, ensemble=self.cfg.ensemble,
+            sorbate_count=(self.sorbates.count if self.sorbates else 1),
             polar_rrms=self.cfg.polar_rrms, out=self.out)
+        if self.sorbates is not None:
+            self.sorbates.display(
+                self.out,
+                frozen_mass=float(self.carry.obs.frozen_mass))
 
 
 def run_input_file(path: str, quiet: bool = False):
