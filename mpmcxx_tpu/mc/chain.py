@@ -221,6 +221,17 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
         n_adiabatic = jnp.sum(state.mol_alive & state.mol_adiabatic)
         movetype = _pick_movetype(opts, state, k_move, N_movable, n_adiabatic)
 
+        # ADIABATIC moves target an adiabatic molecule
+        # (src/System.MonteCarlo.cpp:405-410)
+        if opts.ensemble == const.ENSEMBLE_UVT:
+            k_adia = jax.random.fold_in(k_target, 1)
+            adia_mask = state.mol_alive & state.mol_adiabatic
+            ka = jnp.floor(jax.random.uniform(k_adia) *
+                           jnp.maximum(n_adiabatic, 1)).astype(jnp.int32)
+            adia_target = moves.pick_kth_true(adia_mask, ka)
+            target = jnp.where(movetype == const.MOVETYPE_ADIABATIC,
+                               adia_target, target)
+
         # cavity-biased insertion machinery (src/System.Cavity.cpp;
         # src/System.MonteCarlo.cpp:731-764,838-843).  The grid is rebuilt
         # before every move as in the reference; carry.cavity tracks the
@@ -300,6 +311,10 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
         else:
             eb = energy_breakdown(new_state, flags, params)
             sf_new = carry.sf
+            if flags.polarization:
+                # keep converged dipoles on the state (dipole/field logs +
+                # SCF warm starts)
+                new_state = new_state.replace(mu=eb.mu)
 
         final_energy = eb.total + eb.cavity_penalty
         obs_after = observables_from_breakdown(new_state, eb, flags, params,

@@ -261,6 +261,8 @@ class Simulation:
             if cfg.polarization:
                 traj_io.write_dipoles(cfg.dipole_output, self.carry.state,
                                       first=(step <= cfg.corrtime))
+                if cfg.field_output and cfg.field_output != "/dev/null":
+                    self._write_field(step)
             if not self.quiet:
                 perf.report(step, self.out)
                 self._display()
@@ -275,6 +277,26 @@ class Simulation:
             self.fp_energy_csv.close()
         pqr_io.drain()
         return self.avg
+
+    def _write_field(self, step: int):
+        """Per-molecule static+induced field log (write_field,
+        src/System.Output.cpp:1184-1229).  E_static is recomputed at
+        corrtime; the induced field is backed out of the converged dipoles
+        (mu/alpha - E_static)."""
+        import jax.numpy as jnp
+        from .ops.pairwise import build_pairs
+        from .ops import polar as polar_mod
+        st = self.carry.state
+        pt = build_pairs(st, self.flags)
+        e_static = polar_mod.thole_field(st, pt, self.flags, self.params)
+        alpha = np.asarray(self.state.polarizability)
+        safe = np.where(alpha == 0.0, 1.0, alpha)
+        mu = np.asarray(st.mu)
+        e_ind = np.where(alpha[:, None] != 0.0,
+                         mu / safe[:, None] - np.asarray(e_static), 0.0)
+        traj_io.write_fields(self.cfg.field_output, st,
+                             np.asarray(e_static), e_ind,
+                             first=(step <= self.cfg.corrtime))
 
     def _display(self):
         out_io.display_averages(
