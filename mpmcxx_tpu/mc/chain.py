@@ -309,7 +309,11 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                 iterator_failed=jnp.zeros((), bool),
                 dipole_rrms=jnp.zeros(()), cavity_penalty=pen)
         else:
-            eb = energy_breakdown(new_state, flags, params)
+            if opts.blocked_energy:
+                from ..ops.energy import energy_breakdown_blocked
+                eb = energy_breakdown_blocked(new_state, flags, params)
+            else:
+                eb = energy_breakdown(new_state, flags, params)
             sf_new = carry.sf
             if flags.polarization:
                 # keep converged dipoles on the state (dipole/field logs +

@@ -129,11 +129,11 @@ def energy_breakdown_blocked(state: SystemState, flags: FFlags,
     ops.delta.supports); polarization and other dense-only subsystems
     raise.
     """
-    from .delta import supports as delta_supports
-    if not delta_supports(flags):
-        raise ValueError("blocked energy requires a strictly pairwise "
-                         "energy (no polarization/polarvdw/3-body/"
-                         "rd_crystal/GWP/SPECTRE)")
+    if (flags.polarvdw or flags.using_axilrod_teller or flags.rd_crystal
+            or flags.gwp or flags.spectre or flags.rd_anharmonic):
+        raise ValueError("blocked energy requires pairwise + k-space terms "
+                         "(+ optional Thole polarization); polarvdw/3-body/"
+                         "rd_crystal/GWP/SPECTRE are dense-only")
     A = state.n_atom_slots
     nblocks = -(-A // block)
 
@@ -200,14 +200,23 @@ def energy_breakdown_blocked(state: SystemState, flags: FFlags,
                 + ewald.coulombic_self(state, params)
 
     z = jnp.zeros(())
-    total = rd + coul
+    pol = z
+    mu = state.mu * 0.0
+    pol_iters = z
+    failed = jnp.zeros((), bool)
+    rrms = z
+    if flags.polarization and use_es:
+        res = polar.polar_blocked(state, flags, params, block=block)
+        pol, mu, pol_iters, failed, rrms = res
+
+    total = rd + coul + pol
     pen = jnp.where(pen_hit, const.MAXVALUE, 0.0) \
         if flags.cavity_autoreject_absolute else z
     return EnergyBreakdown(
-        total=total, rd=rd, coulombic=coul, polarization=z, vdw=z,
-        three_body=z, kinetic=z, mu=state.mu * 0.0,
-        polarization_iterations=z, iterator_failed=jnp.zeros((), bool),
-        dipole_rrms=z, cavity_penalty=pen)
+        total=total, rd=rd, coulombic=coul, polarization=pol, vdw=z,
+        three_body=z, kinetic=z, mu=mu,
+        polarization_iterations=pol_iters, iterator_failed=failed,
+        dipole_rrms=rrms, cavity_penalty=pen)
 
 
 def total_energy(state: SystemState, flags: FFlags,

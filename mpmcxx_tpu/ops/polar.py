@@ -44,14 +44,11 @@ class PolarResult(NamedTuple):
     dipole_rrms: jnp.ndarray     # mean dipole rrms
 
 
-def thole_amatrix(state: SystemState, pt: PairTensors, flags: FFlags,
-                  params: RunParams):
-    """[A,A,3,3] dipole field tensor (src/System.Energy.cpp:2661-2770).
-
-    Diagonal blocks are 1/alpha * I (MAXVALUE if alpha == 0); dead-atom
-    pairs get zero off-diagonal blocks.
-    """
-    A = state.n_atom_slots
+def thole_tile(state: SystemState, pt: PairTensors, flags: FFlags,
+               params: RunParams):
+    """Off-diagonal Thole dipole-tensor blocks for the pairs in ``pt``
+    ([R,A,3,3]); shared by the dense A-matrix and the matrix-free blocked
+    contraction (src/System.Energy.cpp:2694-2767)."""
     l = params.polar_damp
     rcut = state.pbc.cutoff
     r = pt.rimg
@@ -91,14 +88,31 @@ def thole_amatrix(state: SystemState, pt: PairTensors, flags: FFlags,
                          (wdamp2 * ir * ir / rcut ** 3)[..., None, None] -
                          eye * (wdamp1 / rcut ** 3)[..., None, None])
 
-    offdiag = ~jnp.eye(A, dtype=bool) & pt.alive
-    block = jnp.where(offdiag[..., None, None], block, 0.0)
+    A = state.n_atom_slots
+    if pt.rows is None:
+        offdiag = ~jnp.eye(A, dtype=bool) & pt.alive
+    else:
+        safe = jnp.clip(pt.rows, 0, A - 1)
+        col = jnp.arange(A)[None, :]
+        offdiag = (col != safe[:, None]) & pt.alive & \
+            (pt.rows >= 0)[:, None]
+    return jnp.where(offdiag[..., None, None], block, 0.0)
 
+
+def thole_amatrix(state: SystemState, pt: PairTensors, flags: FFlags,
+                  params: RunParams):
+    """[A,A,3,3] dipole field tensor (src/System.Energy.cpp:2661-2770).
+
+    Diagonal blocks are 1/alpha * I (MAXVALUE if alpha == 0); dead-atom
+    pairs get zero off-diagonal blocks.
+    """
+    A = state.n_atom_slots
+    block = thole_tile(state, pt, flags, params)
     inv_alpha = jnp.where(state.polarizability != 0.0,
                           1.0 / jnp.where(state.polarizability == 0.0, 1.0,
                                           state.polarizability),
                           const.MAXVALUE)
-    diag = eye * inv_alpha[:, None, None]           # [A,3,3]
+    diag = jnp.eye(3) * inv_alpha[:, None, None]    # [A,3,3]
     block = block.at[jnp.arange(A), jnp.arange(A)].set(diag)
     return block
 
@@ -115,11 +129,20 @@ def damp_factor(t, i: int):
 # static fields
 # ---------------------------------------------------------------------------
 
+def _not_self(state: SystemState, pt: PairTensors):
+    A = state.n_atom_slots
+    if pt.rows is None:
+        return ~jnp.eye(A, dtype=bool)
+    safe = jnp.clip(pt.rows, 0, A - 1)
+    return (jnp.arange(A)[None, :] != safe[:, None]) & \
+        (pt.rows >= 0)[:, None]
+
+
 def thole_field_nopbc(state: SystemState, pt: PairTensors):
     """(src/System.Energy.cpp:3300-3333)"""
     mask = (~pt.frozen & ~pt.same_mol & pt.alive &
             (pt.rimg - const.SMALL_dR < state.pbc.cutoff) & (pt.rimg != 0.0) &
-            ~jnp.eye(state.n_atom_slots, dtype=bool))
+            _not_self(state, pt))
     r3 = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg) ** 3
     f = jnp.where(mask, 1.0 / r3, 0.0)
     q_j = state.charge[None, :, None]
@@ -134,7 +157,7 @@ def thole_field_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
     a = params.polar_wolf_alpha
     mask = (~pt.frozen & ~pt.same_mol & pt.alive &
             (pt.rimg - const.SMALL_dR < R) & (pt.rimg != 0.0) &
-            ~jnp.eye(state.n_atom_slots, dtype=bool))
+            _not_self(state, pt))
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
     rr = 1.0 / r
     cutoffterm = (erfc(a * R) * rR * rR +
@@ -169,10 +192,8 @@ def real_term(state: SystemState, pt: PairTensors, params: RunParams):
     """Real-space static field for the Ewald treatments
     (src/System.Energy.cpp:2900-2940)."""
     a = params.polar_ewald_alpha
-    A = state.n_atom_slots
-    notdiag = ~jnp.eye(A, dtype=bool)
-    base = pt.alive & ~pt.frozen & notdiag & (pt.rimg != 0.0) & \
-        ~(pt.rimg > state.pbc.cutoff)
+    base = pt.alive & ~pt.frozen & _not_self(state, pt) & \
+        (pt.rimg != 0.0) & ~(pt.rimg > state.pbc.cutoff)
     r = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg)
     r2 = r * r
     f_ex = (2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * r2) * r -
@@ -219,7 +240,7 @@ def _apply_relax(flags: FFlags, params: RunParams, new_mu, old_mu, it):
 
 
 def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
-                    params: RunParams):
+                    params: RunParams, contract_fn=None):
     """Fixed-point dipole solver (src/System.Energy.cpp:3450-3543).
 
     Implements the reference's non-Gauss-Seidel update order (contract with
@@ -247,10 +268,13 @@ def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
         mu, old, it, done = carry
         return ~done & (it < max_iter)
 
+    contract = contract_fn if contract_fn is not None else \
+        (lambda mu: _contract(Amat, mu))
+
     def body(carry):
         mu, old, it, _ = carry
         it = it + 1
-        ef_ind = _contract(Amat, mu)
+        ef_ind = contract(mu)
         new_mu = alpha * (E_static + ef_ind)
         new_mu = jnp.where(alive, new_mu, 0.0)
         relaxed = _apply_relax(flags, params, new_mu, mu, it)
@@ -395,6 +419,95 @@ def ewald_full(state: SystemState, pt: PairTensors, flags: FFlags,
 
     rrms = _dipole_rrms_mean(state, mu, old_mu)
     return E_static, mu, iters.astype(jnp.float64), failed, rrms, change
+
+
+def thole_field_blocked(state: SystemState, flags: FFlags,
+                        params: RunParams, block: int = 128):
+    """Static field without [A,A] tensors: scan rect row blocks."""
+    from .pairwise import build_pairs_rect
+    A = state.n_atom_slots
+    nb = -(-A // block)
+
+    def body(_, b):
+        rows_f = b * block + jnp.arange(block)
+        rows = jnp.where(rows_f < A, rows_f, -1)
+        pt = build_pairs_rect(state, flags, rows)
+        if flags.polar_ewald:
+            e = real_term(state, pt, params)
+        elif flags.polar_wolf or flags.polar_wolf_full:
+            e = thole_field_wolf(state, pt, flags, params)
+        else:
+            e = thole_field_nopbc(state, pt)
+        return None, e
+
+    _, tiles = jax.lax.scan(body, None, jnp.arange(nb))
+    E = tiles.reshape(nb * block, 3)[:A]
+    if flags.polar_ewald:
+        E = E + recip_term(state, flags, params)
+    return jnp.where(state.atom_alive()[:, None], E, 0.0)
+
+
+def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
+                     mu, block: int = 128):
+    """Matrix-free ef_induced = -sum_j T_ij mu_j via on-the-fly Thole
+    tiles — O(B*A*9) memory instead of the [A,A,3,3] A-matrix."""
+    from .pairwise import build_pairs_rect
+    A = state.n_atom_slots
+    nb = -(-A // block)
+
+    def body(_, b):
+        rows_f = b * block + jnp.arange(block)
+        rows = jnp.where(rows_f < A, rows_f, -1)
+        pt = build_pairs_rect(state, flags, rows)
+        tile = thole_tile(state, pt, flags, params)       # [B,A,3,3]
+        return None, -jnp.einsum("rjpq,jq->rp", tile, mu)
+
+    _, tiles = jax.lax.scan(body, None, jnp.arange(nb))
+    return tiles.reshape(nb * block, 3)[:A]
+
+
+def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
+                  block: int = 128) -> PolarResult:
+    """Large-system polarization: blocked static field + matrix-free
+    iterative solver (the reference's O(iters * 9N^2) SCF with the
+    A-matrix never materialised)."""
+    E_static = thole_field_blocked(state, flags, params, block)
+    if flags.polar_iterative:
+        mu, iters, failed, rrms = thole_iterative(
+            state, None, E_static, flags, params,
+            contract_fn=lambda m: contract_blocked(state, flags, params, m,
+                                                   block))
+    else:
+        # exact path: matrix-free CG on A mu = E (A is symmetric; PD for
+        # physical polarizabilities) — the "matrix-free CG" target design
+        alpha = state.polarizability[:, None]
+        inv_alpha = jnp.where(alpha != 0.0,
+                              1.0 / jnp.where(alpha == 0.0, 1.0, alpha),
+                              const.MAXVALUE)
+        alive = state.atom_alive()[:, None]
+
+        def matvec(m):
+            return m * inv_alpha - contract_blocked(state, flags, params,
+                                                    m, block)
+
+        b = jnp.where(alive, E_static, 0.0)
+        mu, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=1e-12,
+                                           maxiter=400)
+        mu = jnp.where(alive, mu, 0.0)
+        iters = jnp.zeros(())
+        failed = jnp.zeros((), bool)
+        rrms = jnp.zeros(())
+    pot = jnp.sum(mu * E_static)
+    if flags.polar_palmo:
+        ef_ind = contract_blocked(state, flags, params, mu, block)
+        safe_alpha = jnp.where(state.polarizability[:, None] == 0.0, 1.0,
+                               state.polarizability[:, None])
+        implied = mu / safe_alpha - E_static
+        change = jnp.where(state.atom_alive()[:, None] &
+                           (state.polarizability[:, None] != 0.0),
+                           ef_ind - implied, 0.0)
+        pot = pot + jnp.sum(mu * change)
+    return PolarResult(-0.5 * pot, mu, iters, failed, rrms)
 
 
 def polar(state: SystemState, pt: PairTensors, flags: FFlags,

@@ -74,8 +74,12 @@ class Simulation:
         mol_id = np.asarray(self.state.mol_id)
         counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
         max_mol_atoms = int(counts.max()) if len(counts) else 1
-        incremental = delta_mod.supports(cfg.to_flags())
-        blocked = incremental and self.state.n_atom_slots > 1024
+        flags0 = cfg.to_flags()
+        incremental = delta_mod.supports(flags0)
+        blocked = self.state.n_atom_slots > 1024 and not (
+            flags0.polarvdw or flags0.using_axilrod_teller or
+            flags0.rd_crystal or flags0.gwp or flags0.spectre or
+            flags0.rd_anharmonic)
 
         fug = cfg.fugacities[0] if cfg.fugacities else cfg.pressure
         self.opts = chain_mod.MCOptions(
