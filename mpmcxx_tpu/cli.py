@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     elif cfg.ensemble == const.ENSEMBLE_NVT_GIBBS:
         from .mc.gibbs import GibbsSimulation
         sim = GibbsSimulation(cfg, quiet=args.quiet)
+    elif args.replicas > 1 or cfg.parallel_tempering:
+        from .parallel.driver import ReplicaSimulation
+        n = max(args.replicas, 2 if cfg.parallel_tempering else 1)
+        sim = ReplicaSimulation(cfg, n, quiet=args.quiet)
     else:
         from .runner import Simulation
         sim = Simulation(cfg, quiet=args.quiet)

@@ -1,0 +1,158 @@
+"""Replica-parallel simulation driver.
+
+The runner-level equivalent of the reference's MPI operation: R independent
+chains (optionally at a temperature ladder with parallel tempering) run as a
+vmapped, mesh-sharded batch; every corrtime the host aggregates each
+replica's observables into the root averages exactly as rank 0 does in
+do_corrtime_bookkeeping (src/System.MonteCarlo.cpp:1954-2028), and writes
+per-replica energy-log rows.
+
+Parallel tempering follows the reference's (disabled) design
+(src/System.MonteCarlo.cpp:1767-1897): neighbor-bath swaps every
+``ptemp_freq`` steps exchanging temperatures, with observables collected
+from the coldest bath.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..config.schema import SimConfig
+from ..io import output as out_io
+from ..io import pqr as pqr_io
+from ..mc import chain as chain_mod
+from ..mc.averages import AvgObservables, nodestats_from_counters
+from ..runner import Simulation, _obs_to_dict
+from . import replicas as rep
+
+
+class ReplicaSimulation:
+    """R replica chains of a standard-ensemble run."""
+
+    def __init__(self, cfg: SimConfig, n_replicas: int,
+                 quiet: bool = False, mesh=None):
+        self.base = Simulation(cfg, quiet=True)
+        self.cfg = self.base.cfg
+        self.R = n_replicas
+        self.quiet = quiet
+        self.out = sys.stdout
+        self.mesh = mesh if mesh is not None else (
+            rep.make_mesh(min(n_replicas, len(jax.devices())))
+            if len(jax.devices()) > 1 else None)
+
+        seed = cfg.preset_seed if cfg.preset_seed_on else 0
+        self.carry = rep.replicate_carry(self.base.carry, n_replicas,
+                                         base_seed=seed)
+
+        self.tempering = cfg.parallel_tempering
+        if self.tempering:
+            if cfg.max_temperature <= cfg.temperature:
+                raise ValueError("parallel_tempering requires "
+                                 "max_temperature > temperature")
+            ladder = rep.temperature_ladder(cfg.temperature,
+                                            cfg.max_temperature, n_replicas)
+            self.carry = self.carry._replace(
+                temperature=jnp.asarray(ladder))
+            self.ptemp_freq = cfg.ptemp_freq or const.PTEMP_FREQ_DEFAULT
+            chunk = min(self.ptemp_freq, cfg.corrtime)
+        else:
+            chunk = cfg.corrtime
+        self.chunk = chunk
+
+        self.runner = rep.make_replica_runner(
+            self.base.flags, self.base.params, self.base.opts, chunk,
+            mesh=self.mesh)
+        self.refresh = jax.jit(jax.vmap(
+            chain_mod.make_refresher(self.base.flags, self.base.params,
+                                     self.base.opts)))
+        self.avg = AvgObservables()
+        self._swap_key = jax.random.PRNGKey(seed + 7919)
+        self._parity = 0
+
+    def _corrtime_io(self, step: int, fp_energy):
+        """Rank-0-style aggregation: average every replica's observables
+        into the root statistics (coldest bath only under tempering)."""
+        obs_b = self.carry.obs
+        temps = np.asarray(self.carry.temperature)
+        cold = int(np.argmin(temps))
+        for r in range(self.R):
+            obs = {k: float(getattr(obs_b, k)[r])
+                   for k in obs_b.__dataclass_fields__}
+            if fp_energy:
+                out_io.write_observables(fp_energy, step, obs,
+                                         float(temps[r]))
+            if not self.tempering or r == cold:
+                self.avg.update(
+                    obs, ensemble=self.cfg.ensemble,
+                    temperature=self.cfg.temperature,
+                    volume=obs["volume"],
+                    particle_mass=self.base._particle_mass(),
+                    free_volume=self.cfg.free_volume,
+                    pressure=self.cfg.pressure)
+
+    def run(self) -> AvgObservables:
+        cfg = self.cfg
+        fp_energy = None
+        if cfg.energy_output and cfg.energy_output != "/dev/null":
+            fp_energy = out_io.open_energy_file(cfg.energy_output)
+
+        perf = out_io.PerformanceTimer(cfg.numsteps)
+        self._corrtime_io(0, fp_energy)
+
+        step = 0
+        since_corr = 0
+        while step < cfg.numsteps:
+            self.carry, _ = self.runner(self.carry)
+            step += self.chunk
+            since_corr += self.chunk
+
+            if self.tempering:
+                self._swap_key, k = jax.random.split(self._swap_key)
+                new_t, swapped = rep.tempering_swap(
+                    self.carry.temperature, self.carry.obs.energy, k,
+                    self._parity)
+                self._parity ^= 1
+                self.carry = self.carry._replace(temperature=new_t)
+
+            if since_corr >= cfg.corrtime or step >= cfg.numsteps:
+                since_corr = 0
+                self.carry = self.refresh(self.carry)
+                acc = np.asarray(self.carry.stats.accept).sum(axis=0)
+                rej = np.asarray(self.carry.stats.reject).sum(axis=0)
+                self.avg.update_nodestats(nodestats_from_counters(
+                    acc, rej,
+                    float(np.asarray(self.carry.stats.boltzmann_factor)[0])))
+                self._corrtime_io(step, fp_energy)
+                if cfg.pqr_restart != "/dev/null":
+                    for r in range(self.R):
+                        st = jax.tree_util.tree_map(lambda x: x[r],
+                                                    self.carry.state)
+                        pqr_io.write_state_pqr(
+                            pqr_io.make_filename(cfg.pqr_restart, r), st,
+                            self.base.meta, wrapall=cfg.wrapall,
+                            long_output=cfg.long_output)
+                if not self.quiet:
+                    perf.report(step, self.out)
+                    out_io.display_averages(
+                        self.avg,
+                        temperature=float(
+                            np.asarray(self.carry.temperature).min()),
+                        ensemble=cfg.ensemble, out=self.out)
+
+        if cfg.pqr_output != "/dev/null":
+            for r in range(self.R):
+                st = jax.tree_util.tree_map(lambda x: x[r],
+                                            self.carry.state)
+                pqr_io.write_state_pqr(
+                    pqr_io.make_filename(cfg.pqr_output, r), st,
+                    self.base.meta, wrapall=cfg.wrapall,
+                    long_output=cfg.long_output)
+        pqr_io.drain()
+        if fp_energy:
+            fp_energy.close()
+        return self.avg
