@@ -186,6 +186,20 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions):
                     s, k1, target, opts.move_factor,
                     opts.spectre_max_charge, opts.spectre_max_target), \
                     jnp.asarray(True)
+            if opts.gwp:
+                # gwp molecules: displace with gwp_probability scale and
+                # perturb widths (src/System.MonteCarlo.cpp:868-875)
+                k1a, k1b = jax.random.split(k1)
+                has_gwp = jnp.any((s.mol_id == target) & s.gwp_spin)
+                scale = jnp.where(has_gwp, opts.gwp_probability,
+                                  opts.move_factor)
+                moved = moves.displace(s, k1a, target, scale,
+                                       opts.rot_factor)
+                widened = moves.displace_gwp(moved, k1b, target,
+                                             opts.gwp_probability)
+                out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(has_gwp, a, b), widened, moved)
+                return out, jnp.asarray(True)
             return moves.displace(s, k1, target, opts.move_factor,
                                   opts.rot_factor), jnp.asarray(True)
 

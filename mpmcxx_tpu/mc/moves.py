@@ -198,6 +198,17 @@ def spectre_displace(state: SystemState, key, mol, move_factor,
     return state.replace(pos=pos, charge=charge)
 
 
+def displace_gwp(state: SystemState, key, mol, scale) -> SystemState:
+    """Perturb gaussian-wave-packet widths of the molecule's gwp_spin atoms
+    (Molecule::displace_gwp, src/Molecule.cpp:350-366); widths stay
+    positive via abs."""
+    u = jax.random.uniform(key, (state.n_atom_slots,))
+    sel = _atoms_of(state, mol) & state.gwp_spin
+    perturb = scale * (u - 0.5)
+    new_alpha = jnp.abs(state.gwp_alpha + jnp.where(sel, perturb, 0.0))
+    return state.replace(gwp_alpha=new_alpha)
+
+
 def spectre_renormalize(state: SystemState, charge):
     """Spread residual charge over SPECTRE sites
     (src/System.MonteCarlo.cpp:1193-1221)."""

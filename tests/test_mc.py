@@ -201,3 +201,81 @@ class TestEndToEnd:
         # per-bead restart files written
         for s in range(8):
             assert os.path.exists(f"Ar2K.restart-000{s}.pqr")
+
+
+class TestSpecialMoves:
+    def test_gwp_displace_perturbs_widths(self):
+        a1 = AtomRecord("H", "GW", 1, x=0.0, mass=1.0, gwp_alpha=0.5,
+                        charge=408.78)
+        a2 = AtomRecord("H", "GW", 2, x=3.0, mass=1.0, gwp_alpha=0.5,
+                        charge=-408.78)
+        state, _ = build_state([a1, a2], np.eye(3) * 20.0)
+        flags = FFlags(gwp=True, rd_lrc=False)
+        params = RunParams(temperature=50.0)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVT,
+                                   move_factor=0.1, gwp=True,
+                                   gwp_probability=0.3, numsteps=40)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=2)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 40)
+        carry, _ = runner(carry)
+        assert np.isfinite(float(carry.obs.energy))
+        # widths changed from initial and stayed positive
+        ga = np.asarray(carry.state.gwp_alpha)
+        assert np.all(ga > 0)
+        assert np.any(ga != 0.5)
+
+    def test_spectre_chain_neutral(self):
+        # neutral initial SPECTRE set (charge-equilibration sampling starts
+        # from neutrality; renormalisation preserves it)
+        qs = [0.1, -0.1, 0.0, -0.1]
+        recs = []
+        for m in range(4):
+            recs.append(AtomRecord("S", "SPC", m + 1, x=4.0 * m, mass=1.0,
+                                   spectre=(m < 3), target=(m == 3),
+                                   charge=408.78 * qs[m],
+                                   epsilon=10.0, sigma=2.0))
+        state, _ = build_state(recs, np.eye(3) * 20.0)
+        flags = FFlags(spectre=True, rd_lrc=False)
+        params = RunParams(temperature=300.0)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVT,
+                                   move_factor=0.1, spectre=True,
+                                   spectre_max_charge=300.0,
+                                   spectre_max_target=5.0, numsteps=60)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=8)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 60)
+        carry, _ = runner(carry)
+        q = np.asarray(carry.state.charge)
+        sp = np.asarray(carry.state.spectre)
+        assert int(np.asarray(carry.stats.accept).sum()) > 0
+        # SPECTRE charges stay neutral through accepted moves
+        assert abs(q[sp].sum()) < 1e-9
+        # charges actually moved
+        assert np.any(np.abs(q[sp] - 408.78 * np.asarray(qs)[:3]) > 1e-6)
+
+
+class TestNativeCodec:
+    def test_format_matches_python(self):
+        from mpmcxx_tpu.io import pqr
+        from mpmcxx_tpu.runtime import native
+        if native.get_lib() is None:
+            pytest.skip("no native lib")
+        atoms = pqr.read_pqr(os.path.join(SAMPLE, "Ar.pqr"))
+        state, meta = build_state(atoms, np.eye(3) * 100.0)
+        data = pqr.state_to_atoms_data(state, meta)
+        nat = native.pqr_format_native(data, True)
+        # python fallback path
+        lines_py = []
+        for idx in range(len(data["atomtype"])):
+            x, y, z = data["pos"][idx]
+            line = ["ATOM  ", f"{idx+1:5d}",
+                    f" {data['atomtype'][idx]:<4.4s}",
+                    f" {data['moleculetype'][idx]:<3.3s} ",
+                    f"{data['flag'][idx]:<1.1s}",
+                    f" {data['molecule_id'][idx]:4d}   ",
+                    f"{x:11.6f} {y:11.6f} {z:11.6f} "]
+            for key in ("mass", "charge_e", "polarizability", "epsilon",
+                        "sigma", "omega", "gwp_alpha", "c6", "c8", "c10",
+                        "c9"):
+                line.append(f" {data[key][idx]:8.5f}")
+            lines_py.append("".join(line))
+        assert nat.splitlines() == lines_py
