@@ -447,20 +447,68 @@ def thole_field_blocked(state: SystemState, flags: FFlags,
     return jnp.where(state.atom_alive()[:, None], E, 0.0)
 
 
+def _thole_damps(state: SystemState, pt: PairTensors, flags: FFlags,
+                 params: RunParams):
+    """(damp1, damp2, wdamp1, wdamp2) for the pairs in pt — the damping
+    factors of thole_amatrix (src/System.Energy.cpp:2712-2742)."""
+    l = params.polar_damp
+    rcut = state.pbc.cutoff
+    r = pt.rimg
+    if flags.damp_type == const.DAMPING_OFF:
+        damp1 = jnp.where(pt.es_excluded, 0.0, 1.0)
+        return damp1, damp1, damp1, damp1
+    if flags.damp_type == const.DAMPING_LINEAR:
+        ai = pt.row(state.polarizability)[:, None] * \
+            state.polarizability[None, :]
+        sd = l * ai ** (1.0 / 6.0)
+        v = r / jnp.where(sd == 0.0, 1.0, sd)
+        damp1 = jnp.where(r < sd, (4.0 - 3.0 * v) * v ** 3, 1.0)
+        damp2 = jnp.where(r < sd, v ** 4, 1.0)
+        return damp1, damp2, jnp.ones_like(damp1), jnp.ones_like(damp2)
+    explr = jnp.exp(-l * r)
+    damp1 = 1.0 - explr * (0.5 * l * l * r * r + l * r + 1.0)
+    damp2 = damp1 - explr * (l ** 3 * r ** 3 / 6.0)
+    explrcut = jnp.exp(-l * rcut)
+    wdamp1 = 1.0 - explrcut * (0.5 * l * l * rcut * rcut + l * rcut + 1.0)
+    wdamp2 = wdamp1 - explrcut * (l ** 3 * rcut ** 3 / 6.0)
+    return damp1, damp2, wdamp1, wdamp2
+
+
 def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
                      mu, block: int = 128):
-    """Matrix-free ef_induced = -sum_j T_ij mu_j via on-the-fly Thole
-    tiles — O(B*A*9) memory instead of the [A,A,3,3] A-matrix."""
+    """Matrix-free ef_induced = -sum_j T_ij mu_j.
+
+    Expands T mu algebraically (T_ij mu_j = -3 d (d.mu) damp2/r^5
+    + damp1 mu/r^3 [+ wolf-full corrections]) so only [B,A]-shaped
+    scalars are live — no [A,A,3,3] A-matrix, no [B,A,3,3] tiles."""
     from .pairwise import build_pairs_rect
     A = state.n_atom_slots
     nb = -(-A // block)
+    rcut = state.pbc.cutoff
 
     def body(_, b):
         rows_f = b * block + jnp.arange(block)
         rows = jnp.where(rows_f < A, rows_f, -1)
         pt = build_pairs_rect(state, flags, rows)
-        tile = thole_tile(state, pt, flags, params)       # [B,A,3,3]
-        return None, -jnp.einsum("rjpq,jq->rp", tile, mu)
+        r = pt.rimg
+        r_safe = jnp.where(r == 0.0, 1.0, r)
+        ir = 1.0 / r_safe
+        ir3 = jnp.where(r == 0.0, const.MAXVALUE, ir ** 3)
+        ir5 = jnp.where(r == 0.0, const.MAXVALUE, ir ** 5)
+        damp1, damp2, wdamp1, wdamp2 = _thole_damps(state, pt, flags,
+                                                    params)
+        mask = _not_self(state, pt) & pt.alive
+        dot = jnp.einsum("rjq,jq->rj", pt.dimg, mu)       # [B,A]
+        c_outer = -3.0 * damp2 * ir5
+        c_diag = damp1 * ir3
+        if flags.polar_wolf_full:
+            c_outer = c_outer + 3.0 * wdamp2 * ir * ir / rcut ** 3
+            c_diag = c_diag - wdamp1 / rcut ** 3
+        c_outer = jnp.where(mask, c_outer, 0.0)
+        c_diag = jnp.where(mask, c_diag, 0.0)
+        ef = -(jnp.einsum("rj,rjp->rp", c_outer * dot, pt.dimg) +
+               c_diag @ mu)
+        return None, ef
 
     _, tiles = jax.lax.scan(body, None, jnp.arange(nb))
     return tiles.reshape(nb * block, 3)[:A]
