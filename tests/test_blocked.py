@@ -1,0 +1,78 @@
+"""Blocked (tiled) energy paths must match the dense reference paths."""
+
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import FFlags, RunParams, constants as const
+from mpmcxx_tpu.ops.energy import energy_breakdown, energy_breakdown_blocked
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+
+def random_system(n=80, L=22.0, polar=False, seed=4, molecules_of=2):
+    rng = np.random.default_rng(seed)
+    atoms = []
+    mid = 0
+    m = 0
+    while m < n:
+        mid += 1
+        base = rng.uniform(-L / 2, L / 2, 3)
+        for a in range(molecules_of):
+            if m >= n:
+                break
+            m += 1
+            off = rng.normal(0, 1.3, 3)
+            atoms.append(AtomRecord(
+                "X", "MOL", mid, x=base[0] + off[0], y=base[1] + off[1],
+                z=base[2] + off[2], mass=16.0,
+                charge=408.7816 * (0.15 if m % 2 else -0.15),
+                polarizability=0.35 if polar else 0.0,
+                epsilon=90.0, sigma=3.2))
+    return build_state(atoms, np.eye(3) * L)
+
+
+@pytest.mark.parametrize("block", [16, 64, 128])
+def test_blocked_lj_ewald_matches_dense(block):
+    state, _ = random_system()
+    flags = FFlags()
+    params = RunParams(temperature=120.0, ewald_alpha=3.5 / 11.0)
+    a = energy_breakdown(state, flags, params)
+    b = energy_breakdown_blocked(state, flags, params, block=block)
+    assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-8)
+    assert float(b.coulombic) == pytest.approx(float(a.coulombic), abs=1e-8)
+
+
+def test_blocked_polar_iterative_matches_dense():
+    state, _ = random_system(n=48, polar=True)
+    flags = FFlags(polarization=True, polar_iterative=True, polar_ewald=True,
+                   damp_type=const.DAMPING_EXPONENTIAL)
+    params = RunParams(temperature=120.0, ewald_alpha=3.5 / 11.0,
+                       polar_ewald_alpha=3.5 / 11.0, polar_damp=2.1304,
+                       polar_gamma=1.0, polar_precision=1e-9)
+    a = energy_breakdown(state, flags, params)
+    b = energy_breakdown_blocked(state, flags, params, block=16)
+    assert float(b.polarization) == pytest.approx(float(a.polarization),
+                                                  rel=1e-9)
+
+
+def test_blocked_polar_exact_cg_matches_dense():
+    state, _ = random_system(n=48, polar=True)
+    flags = FFlags(polarization=True, polar_iterative=False,
+                   polar_ewald=True, damp_type=const.DAMPING_EXPONENTIAL,
+                   polar_max_iter=10)
+    params = RunParams(temperature=120.0, ewald_alpha=3.5 / 11.0,
+                       polar_ewald_alpha=3.5 / 11.0, polar_damp=2.1304)
+    a = energy_breakdown(state, flags, params)
+    b = energy_breakdown_blocked(state, flags, params, block=16)
+    assert float(b.polarization) == pytest.approx(float(a.polarization),
+                                                  rel=1e-9)
+
+
+def test_blocked_wolf_and_sg():
+    state, _ = random_system()
+    for fl in (FFlags(wolf=True), FFlags(use_sg=True)):
+        params = RunParams(temperature=120.0, ewald_alpha=0.3)
+        a = energy_breakdown(state, fl, params)
+        b = energy_breakdown_blocked(state, fl, params, block=32)
+        assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-8)
+        assert float(b.coulombic) == pytest.approx(float(a.coulombic),
+                                                   abs=1e-8)
