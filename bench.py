@@ -63,7 +63,10 @@ def our_moves_per_sec() -> float:
                                numsteps=STEPS, incremental=True,
                                max_mol_atoms=1)
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
-    runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK)
+    topo = (np.arange(N_ATOMS, dtype=np.int32),
+            np.ones(N_ATOMS, dtype=np.int32))
+    runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK,
+                                         topology=topo)
 
     # warmup/compile (fetch a value: under the axon remote runtime
     # block_until_ready alone does not force completion)

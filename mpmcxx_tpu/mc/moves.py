@@ -56,6 +56,62 @@ def _atoms_of(state: SystemState, mol):
     return state.mol_id == mol
 
 
+def displace_rows(state: SystemState, key, rows, row_mask, move_factor,
+                  rot_factor) -> SystemState:
+    """Topology-gather displace: O(S) gather/rotate/scatter on one
+    molecule's atom rows instead of O(A) masked updates."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    dice = jax.random.uniform(k1, (6,))
+    trans = move_factor * dice[:3] * state.pbc.cutoff
+    trans = jnp.where(dice[3:] < 0.5, -trans, trans)
+
+    axis = jax.random.normal(k2, (3,))
+    angle_deg = jax.random.uniform(k3) * 360.0 * rot_factor
+    q = quat.from_axis_angle_deg(axis, angle_deg)
+
+    safe = jnp.clip(rows, 0, state.n_atom_slots - 1)
+    pos_r = state.pos[safe]                              # [S,3]
+    w = jnp.where(row_mask, state.mass[safe], 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-300)
+    com = jnp.sum(w[:, None] * pos_r, axis=0) / wsum
+    new = quat.rotate(q, pos_r - com) + com + trans
+    new = jnp.where(row_mask[:, None], new, pos_r)
+    return state.replace(pos=state.pos.at[safe].set(new))
+
+
+def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
+                slot, valid, com=None):
+    """Topology-gather insertion (cf. insert())."""
+    k_pos, k_axis, k_ang = jax.random.split(key, 3)
+    A = state.n_atom_slots
+    t_safe = jnp.clip(tmpl_rows, 0, A - 1)
+    s_safe = jnp.clip(slot_rows, 0, A - 1)
+
+    new_com = random_cell_position(state, k_pos) if com is None else com
+    tmpl_pos = state.pos[t_safe]
+    w = jnp.where(row_mask, state.mass[t_safe], 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-300)
+    tmpl_com = jnp.sum(w[:, None] * tmpl_pos, axis=0) / wsum
+
+    axis = jax.random.normal(k_axis, (3,))
+    angle_deg = jax.random.uniform(k_ang) * 360.0
+    q = quat.from_axis_angle_deg(axis, angle_deg)
+    newpos = quat.rotate(q, tmpl_pos - tmpl_com) + new_com
+    cur = state.pos[s_safe]
+    newpos = jnp.where((row_mask & valid)[:, None], newpos, cur)
+    pos = state.pos.at[s_safe].set(newpos)
+    slot_c = jnp.maximum(slot, 0)
+    alive = state.mol_alive.at[slot_c].set(
+        jnp.where(valid, True, state.mol_alive[slot_c]))
+    # the inserted copy inherits the template's nuclear spin (the reference
+    # deep-copies the whole molecule, src/System.MonteCarlo.cpp:502)
+    tmpl_mol = state.mol_id[jnp.clip(tmpl_rows[0], 0, A - 1)]
+    spin = state.nuclear_spin.at[slot_c].set(
+        jnp.where(valid, state.nuclear_spin[tmpl_mol],
+                  state.nuclear_spin[slot_c]))
+    return state.replace(pos=pos, mol_alive=alive, nuclear_spin=spin), valid
+
+
 def displace(state: SystemState, key, mol, move_factor, rot_factor
              ) -> SystemState:
     """Random translation + quaternion rotation of one molecule

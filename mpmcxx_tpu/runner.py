@@ -126,8 +126,15 @@ class Simulation:
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
         self.carry = chain_mod.init_carry(self.state, self.flags, self.params,
                                           self.opts, seed)
+        starts = np.zeros(self.state.n_mol_slots, dtype=np.int32)
+        mol_id_arr = np.asarray(self.state.mol_id)
+        for mm in range(self.state.n_mol_slots):
+            w = np.nonzero(mol_id_arr == mm)[0]
+            starts[mm] = w[0] if len(w) else 0
+        self.topology = (starts, counts.astype(np.int32))
         self.run_chunk = chain_mod.make_chunk_runner(
-            self.flags, self.params, self.opts, cfg.corrtime)
+            self.flags, self.params, self.opts, cfg.corrtime,
+            topology=self.topology)
         self.refresh = chain_mod.make_refresher(self.flags, self.params,
                                                 self.opts)
 
@@ -221,7 +228,8 @@ class Simulation:
             n = min(cfg.corrtime, cfg.numsteps - step)
             if n != cfg.corrtime:
                 runner = chain_mod.make_chunk_runner(
-                    self.flags, self.params, self.opts, n)
+                    self.flags, self.params, self.opts, n,
+                    topology=self.topology)
             else:
                 runner = self.run_chunk
             self.carry, stats = runner(self.carry)
