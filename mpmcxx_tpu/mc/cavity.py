@@ -50,9 +50,8 @@ def update_grid(state: SystemState, grid_size: int, radius, key,
     wpos = state.pos - shift[state.mol_id]
 
     alive = state.atom_alive()
-    d = pts[:, None, :] - wpos[None, :, :]                   # [P,A,3]
-    r2 = jnp.sum(d * d, axis=-1)
-    occupied = jnp.any((r2 < radius * radius) & alive[None, :], axis=1)
+    from ..ops.pallas_cavity import occupancy
+    occupied = occupancy(pts, wpos, alive, radius)
     open_mask = ~occupied
     prob = jnp.mean(open_mask.astype(jnp.float64))
 

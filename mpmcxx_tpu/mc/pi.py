@@ -669,8 +669,11 @@ class PISimulation:
             bf=jnp.zeros(()))
 
         fp_energy = None
+        fp_csv = None
         if cfg.energy_output and cfg.energy_output != "/dev/null":
             fp_energy = out_io.open_energy_file(cfg.energy_output)
+        if cfg.energy_output_csv and cfg.energy_output_csv != "/dev/null":
+            fp_csv = out_io.open_energy_file(cfg.energy_output_csv, csv=True)
 
         # all-bead XYZ frames (write_PI_frame, :699-729), enabled by -xyz
         frames = PIFrameWriter(getattr(self, "xyz_path", ""))
@@ -688,6 +691,9 @@ class PISimulation:
             if fp_energy:
                 out_io.write_observables(fp_energy, step, obs,
                                          float(carry.temperature))
+            if fp_csv:
+                out_io.write_observables(fp_csv, step, obs,
+                                         float(carry.temperature), csv=True)
 
         corrtime_io(0)
         if not self.quiet:
@@ -715,6 +721,8 @@ class PISimulation:
         pqr_io.drain()
         if fp_energy:
             fp_energy.close()
+        if fp_csv:
+            fp_csv.close()
         self.carry = carry
         return self.avg
 

@@ -59,6 +59,14 @@ class Simulation:
         self.state, self.meta = build_state(
             atoms, basis, extra_mol_capacity=extra)
 
+        # manual cutoff override (pbc_cutoff keyword,
+        # src/SimulationControl.cpp:1204-1208; update_pbc keeps it)
+        if cfg.pbc_cutoff > 0.0:
+            import dataclasses as _dc
+            self.state = self.state.replace(
+                pbc=_dc.replace(self.state.pbc,
+                                cutoff=jax.numpy.asarray(cfg.pbc_cutoff)))
+
         # ewald alpha defaults to 3.5/cutoff unless user-set
         # (src/System.cpp:871-874)
         cutoff = float(self.state.pbc.cutoff)
