@@ -1,0 +1,110 @@
+"""Frozen-framework GCMC: the reference's flagship workload shape.
+
+A rigid charged lattice (the "MOF") with mobile polarizable sorbates:
+frozen atoms must not move or be counted/inserted/removed, frozen-frozen
+pairs must not contribute energy, and sorbate-framework interactions must
+drive adsorption.
+"""
+
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import FFlags, RunParams, constants as const
+from mpmcxx_tpu.mc import chain as chain_mod
+from mpmcxx_tpu.ops.energy import energy_breakdown
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+
+def framework_system(L=16.0, n_sorbate=4, extra=24):
+    atoms = []
+    mid = 0
+    # frozen cubic lattice of alternating charges
+    g = 4
+    s = L / g
+    for i in range(g):
+        for j in range(g):
+            for k in range(g):
+                mid_f = 1  # entire framework is one frozen molecule
+                q = 0.4 if (i + j + k) % 2 == 0 else -0.4
+                atoms.append(AtomRecord(
+                    "Fw", "MOF", mid_f, frozen=True,
+                    x=(i + .5) * s - L / 2, y=(j + .5) * s - L / 2,
+                    z=(k + .5) * s - L / 2, mass=50.0,
+                    charge=q * const.E2REDUCED, epsilon=40.0, sigma=2.6))
+    # mobile sorbates
+    rng = np.random.default_rng(7)
+    for m in range(n_sorbate):
+        mid = 100 + m
+        x, y, z = rng.uniform(-L / 4, L / 4, 3)
+        atoms.append(AtomRecord("Ar", "ARG", mid, x=x, y=y, z=z,
+                                mass=39.948, epsilon=119.8, sigma=3.405,
+                                charge=0.0, polarizability=1.64))
+    return build_state(atoms, np.eye(3) * L, extra_mol_capacity=extra)
+
+
+class TestFrameworkGCMC:
+    def test_frozen_atoms_never_move_and_counts_exclude_them(self):
+        state, meta = framework_system()
+        assert int(state.count_N()) == 4  # frozen molecule not counted
+        flags = FFlags()
+        params = RunParams(temperature=150.0)
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_UVT, move_factor=0.1,
+            insert_probability=0.4, fugacity=30.0, numsteps=150,
+            incremental=True, max_mol_atoms=1)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=6)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 150)
+        carry, _ = runner(carry)
+
+        frozen_sel = np.asarray(state.frozen)
+        np.testing.assert_array_equal(
+            np.asarray(carry.state.pos)[frozen_sel],
+            np.asarray(state.pos)[frozen_sel])
+        # framework stays alive, sorbates fluctuate
+        assert bool(carry.state.mol_alive[0])
+        assert int(np.asarray(carry.stats.accept).sum()) > 0
+        assert float(carry.obs.frozen_mass) == pytest.approx(64 * 50.0)
+
+    def test_frozen_pairs_contribute_no_energy(self):
+        # framework alone: rd and es must be exactly zero (frozen-frozen
+        # pairs skipped; recip sum skips frozen; self term skips frozen)
+        state, _ = framework_system(n_sorbate=1)
+        # kill the sorbate's interactions to isolate the framework
+        import jax.numpy as jnp
+        state2 = state.replace(
+            epsilon=jnp.where(state.frozen, state.epsilon, 0.0),
+            charge=jnp.where(state.frozen, state.charge, 0.0),
+            polarizability=jnp.zeros_like(state.polarizability))
+        eb = energy_breakdown(state2, FFlags(rd_lrc=False),
+                              RunParams(temperature=100.0,
+                                        ewald_alpha=3.5 / 8.0))
+        assert float(eb.rd) == 0.0
+        assert float(eb.coulombic) == 0.0
+
+    def test_sorption_equilibrium_is_bound(self):
+        # GCMC against the framework: occupancy fluctuates, the sorbed
+        # phase is net-bound (mean potential < 0), and observables stay
+        # consistent through thousands of insert/remove/displace moves
+        state, _ = framework_system()
+        flags = FFlags()
+        T, f = 150.0, 20.0
+        params = RunParams(temperature=T)
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_UVT, move_factor=0.15,
+            insert_probability=0.5, fugacity=f, numsteps=4000,
+            incremental=True, max_mol_atoms=1)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=11)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 200)
+        Ns, Es = [], []
+        for _ in range(20):
+            carry, _ = runner(carry)
+            Ns.append(float(carry.obs.N))
+            Es.append(float(carry.obs.energy))
+        assert np.std(Ns) > 0.1          # occupancy fluctuates
+        assert np.mean(Es[5:]) < 0.0     # net-bound sorbed phase
+        assert int(carry.obs.N) == int(carry.state.count_N())
+        # frozen framework still intact
+        frozen_sel = np.asarray(state.frozen)
+        np.testing.assert_array_equal(
+            np.asarray(carry.state.pos)[frozen_sel],
+            np.asarray(state.pos)[frozen_sel])
