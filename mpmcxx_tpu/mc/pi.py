@@ -42,6 +42,7 @@ from ..flags import FFlags, RunParams
 from ..io import output as out_io
 from ..io import pqr as pqr_io
 from ..io.trajectory import PIFrameWriter
+from ..ops import delta as delta_mod
 from ..ops.energy import energy_breakdown
 from ..state import SystemState, build_state
 from . import moves
@@ -321,6 +322,8 @@ class PICarry(NamedTuple):
     stack: SystemState
     potential_current: jnp.ndarray   # last-accepted bead-avg potential
     obs_components: jnp.ndarray      # [4]: rd, coul, polar, vdw (bead-avg)
+    comps_per_bead: jnp.ndarray      # [P,4] per-bead components
+    sf: delta_mod.SFCache            # [P,K] per-bead structure factors
     temperature: jnp.ndarray
     key: jnp.ndarray
     starter_bead: jnp.ndarray        # rotating Coker anchor
@@ -338,18 +341,45 @@ class PIStepOut(NamedTuple):
 
 def pi_potential(stack: SystemState, flags: FFlags, params: RunParams):
     """Bead-averaged potential components (PI_calculate_potential,
-    :752-805). Returns ([4] components, total)."""
-    def one(s):
-        eb = energy_breakdown(s, flags, params)
-        return jnp.stack([eb.rd, eb.coulombic, eb.polarization, eb.vdw]), \
-            eb.iterator_failed
-    comps, failed = jax.vmap(one)(stack)
+    :752-805). Returns ([4] mean components, total, failed)."""
+    comps, failed = pi_potential_per_bead(stack, flags, params)
     mean = jnp.mean(comps, axis=0)
     return mean, jnp.sum(mean), jnp.any(failed)
 
 
+def pi_potential_per_bead(stack: SystemState, flags: FFlags,
+                          params: RunParams):
+    """[P,4] per-bead (rd, coul, polar, vdw) and [P] failure flags."""
+    def one(s):
+        eb = energy_breakdown(s, flags, params)
+        return jnp.stack([eb.rd, eb.coulombic, eb.polarization, eb.vdw]), \
+            eb.iterator_failed
+    return jax.vmap(one)(stack)
+
+
+def pi_sf_compute(stack: SystemState, flags: FFlags, params: RunParams):
+    """[P,K] per-bead Ewald structure factors."""
+    return jax.vmap(lambda s: delta_mod.sf_compute(s, flags, params))(stack)
+
+
+def pi_delta_potential(old_stack: SystemState, new_stack: SystemState,
+                       rows, sf, comps_old, flags: FFlags,
+                       params: RunParams):
+    """Incremental per-bead Delta-E: the move touched only ``rows`` atoms
+    of each bead.  Returns (comps_new [P,4], sf_new, total)."""
+    def one(so, sn, sfb):
+        d = delta_mod.delta_energy(so, sn, rows, sfb, flags, params)
+        return d.d_rd, d.d_coul, d.sf_new
+    d_rd, d_coul, sf_new = jax.vmap(one)(old_stack, new_stack, sf)
+    zeros = jnp.zeros_like(d_rd)
+    comps_new = comps_old + jnp.stack([d_rd, d_coul, zeros, zeros], axis=1)
+    total = jnp.sum(jnp.mean(comps_new, axis=0))
+    return comps_new, sf_new, total
+
+
 def make_pi_step(flags: FFlags, base_params: RunParams, opts,
-                 perturb_specs, mol_atom_starts, trial_chain_len: int):
+                 perturb_specs, mol_atom_starts, trial_chain_len: int,
+                 incremental: bool = False, max_mol_atoms: int = 1):
     """opts: MCOptions-like with bead_perturb_probability etc."""
 
     def step(carry: PICarry, _):
@@ -435,7 +465,21 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
                         movetype == const.MOVETYPE_SPINFLIP], [0, 1], 2),
             [do_displace, do_spin, do_perturb], stack)
 
-        comps, pot_trial, failed = pi_potential(new_stack, flags, params)
+        if incremental:
+            rows = jnp.nonzero(stack.mol_id[0] == target,
+                               size=max_mol_atoms, fill_value=-1)[0]
+            comps_pb, sf_new, pot_trial = pi_delta_potential(
+                stack, new_stack, rows, carry.sf, carry.comps_per_bead,
+                flags, params)
+            comps = jnp.mean(comps_pb, axis=0)
+            failed = jnp.zeros((), bool)
+        else:
+            comps_pb, failed_pb = pi_potential_per_bead(new_stack, flags,
+                                                        params)
+            comps = jnp.mean(comps_pb, axis=0)
+            pot_trial = jnp.sum(comps)
+            failed = jnp.any(failed_pb)
+            sf_new = carry.sf
         cml_trial, oml_trial = chain_metrics(new_stack)
 
         delta_pot = pot_trial - carry.potential_current
@@ -469,6 +513,8 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
         stack_out = sel_t(new_stack, stack)
         pot_out = jnp.where(accept, pot_trial, carry.potential_current)
         comps_out = jnp.where(accept, comps, carry.obs_components)
+        comps_pb_out = jnp.where(accept, comps_pb, carry.comps_per_bead)
+        sf_out = sel_t(sf_new, carry.sf)
 
         # simulated annealing (PI main loop :151-160)
         if opts.simulated_annealing:
@@ -489,8 +535,8 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
 
         onehot = jax.nn.one_hot(movetype, 7, dtype=jnp.int64)
         out = PIStepOut(bf=bf, accepted=accept, movetype=movetype)
-        return PICarry(stack_out, pot_out, comps_out, T_out, key,
-                       starter_out, carry.step + 1,
+        return PICarry(stack_out, pot_out, comps_out, comps_pb_out, sf_out,
+                       T_out, key, starter_out, carry.step + 1,
                        carry.accept + jnp.where(accept, onehot, 0),
                        carry.reject + jnp.where(accept, 0, onehot),
                        bf), out
@@ -586,9 +632,15 @@ class PISimulation:
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
         self.key = jax.random.PRNGKey(seed)
 
+        self.incremental = delta_mod.supports(self.flags)
+        max_mol = int(np.bincount(np.asarray(self.stack.mol_id[0]),
+                                  minlength=M).max())
+        self.max_mol_atoms = max_mol
         step_fn = make_pi_step(self.flags, self.params, self.opts,
                                self.perturb_specs, self.mol_atom_starts,
-                               cfg.PI_trial_chain_length)
+                               cfg.PI_trial_chain_length,
+                               incremental=self.incremental,
+                               max_mol_atoms=max_mol)
 
         @jax.jit
         def run_chunk(carry, n_static=cfg.corrtime):
@@ -654,12 +706,22 @@ class PISimulation:
         if not cfg.parallel_restarts:
             self.thermalize()
 
-        comps, pot, _ = pi_potential(self.stack, self.flags, self.params)
+        comps_pb, _ = pi_potential_per_bead(self.stack, self.flags,
+                                            self.params)
+        comps = jnp.mean(comps_pb, axis=0)
+        pot = jnp.sum(comps)
+        if self.incremental and delta_mod.uses_recip(self.flags):
+            sf = pi_sf_compute(self.stack, self.flags, self.params)
+        else:
+            P_ = self.P
+            sf = delta_mod.SFCache(jnp.zeros((P_, 0)), jnp.zeros((P_, 0)))
 
         carry = PICarry(
             stack=self.stack,
             potential_current=pot,
             obs_components=comps,
+            comps_per_bead=comps_pb,
+            sf=sf,
             temperature=jnp.asarray(cfg.temperature, jnp.float64),
             key=self.key,
             starter_bead=jnp.zeros((), jnp.int32),
@@ -706,6 +768,17 @@ class PISimulation:
             carry, outs = self._run_chunk(carry) if n == cfg.corrtime else \
                 jax.lax.scan(self._step_fn, carry, None, length=n)
             step += n
+            if self.incremental:
+                # full recompute each corrtime: Delta-E drift control
+                comps_pb, _ = pi_potential_per_bead(carry.stack, self.flags,
+                                                    self.params)
+                comps = jnp.mean(comps_pb, axis=0)
+                sf = pi_sf_compute(carry.stack, self.flags, self.params) \
+                    if delta_mod.uses_recip(self.flags) else carry.sf
+                carry = carry._replace(comps_per_bead=comps_pb,
+                                       obs_components=comps,
+                                       potential_current=jnp.sum(comps),
+                                       sf=sf)
             ns = nodestats_from_counters(np.asarray(carry.accept),
                                          np.asarray(carry.reject),
                                          float(carry.bf))
