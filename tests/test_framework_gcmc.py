@@ -108,3 +108,43 @@ class TestFrameworkGCMC:
         np.testing.assert_array_equal(
             np.asarray(carry.state.pos)[frozen_sel],
             np.asarray(state.pos)[frozen_sel])
+
+
+class TestCLIGCMC:
+    def test_co2_fugacity_gcmc_run(self, tmp_path, monkeypatch):
+        """End-to-end CLI GCMC with an EoS fugacity (CO2 Peng-Robinson)."""
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(3)
+        with open("co2.pqr", "w") as f:
+            i = 1
+            for m in range(6):
+                x, y, z = rng.uniform(-6, 6, 3)
+                f.write(f"ATOM  {i:5d} CO2  CO2 M {m+1:4d}   "
+                        f"{x:8.3f}{y:8.3f}{z:8.3f} 44.010  0.0000  0.0000 "
+                        f"230.0  3.75  0.0  0.0\n")
+                i += 1
+            f.write("END\n")
+        with open("run.in", "w") as f:
+            f.write("""job_name co2
+ensemble uvt
+temperature 298.0
+pressure 10.0
+co2_fugacity on
+insert_probability 0.4
+numsteps 60
+corrtime 30
+seed 4
+move_factor 0.2
+pqr_input co2.pqr
+basis1 16 0 0
+basis2 0 16 0
+basis3 0 0 16
+""")
+        from mpmcxx_tpu.cli import main
+        assert main(["--quiet", "run.in"]) == 0
+        lines = open("co2.energy.dat").read().splitlines()
+        assert len(lines) >= 3
+        # fugacity was resolved via the PR EoS (phi < 1 near-critical CO2)
+        from mpmcxx_tpu.mc import fugacity as fug
+        f_used = fug.co2_fugacity(298.0, 10.0)
+        assert 0 < f_used < 10.0

@@ -279,3 +279,22 @@ class TestNativeCodec:
                 line.append(f" {data[key][idx]:8.5f}")
             lines_py.append("".join(line))
         assert nat.splitlines() == lines_py
+
+
+class TestPIFrames:
+    def test_xyz_frames_written(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import shutil
+        shutil.copy(os.path.join(SAMPLE, "Ar.pqr"), "Ar.pqr")
+        text = open(os.path.join(SAMPLE, "equilibrate.in")).read()
+        text = text.replace("numsteps                       10000",
+                            "numsteps 20")
+        open("run.in", "w").write(text)
+        from mpmcxx_tpu.cli import main
+        assert main(["-P", "8", "-xyz", "frames.xyz", "--quiet",
+                     "run.in"]) == 0
+        frames = open("frames.xyz").read().splitlines()
+        # 8 beads x 2 atoms = 16 sites per frame + 2 header lines
+        assert frames[0] == "16"
+        assert frames[1].startswith("Frame:")
+        assert len(frames) % 18 == 0
