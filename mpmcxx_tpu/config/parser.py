@@ -281,21 +281,16 @@ def process_command(cfg: SimConfig, tokens: list[str]) -> None:
         cfg.fugacities = [_to_float(a) for a in args[:const.MAX_TOKENS - 1]]
         return
 
-    if kw == "cdvdw":
-        # alias: enables coupled-dipole vdw (same as polarvdw on)
-        need(1)
-        cfg.polarvdw = _to_bool(args[0])
-        return
-
-    if kw == "polarvdw":
+    if kw in ("polarvdw", "cdvdw"):
+        # reference side effects (src/SimulationControl.cpp:662-684):
+        # any "on"-like mode also forces polarization + polar_iterative
+        # (matrix inversion would destroy the A-matrix before vdw uses it)
         need(1)
         a = args[0].lower()
-        if a == "on":
+        if a in ("on", "evects", "comp"):
             cfg.polarvdw = True
-        elif a == "evects":
-            cfg.polarvdw = True  # mode 2: print eigenvectors
-        elif a == "comp":
-            cfg.polarvdw = True  # mode 3: two-body comparison
+            cfg.polarization = True
+            cfg.polar_iterative = True
         elif a == "off":
             cfg.polarvdw = False
         else:

@@ -90,7 +90,10 @@ def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
         eps_wh = jnp.sqrt(eps_i * eps_j) * 2.0 * si3 * sj3 / jnp.where(
             si6 + sj6 == 0.0, 1.0, si6 + sj6)
         epsilon = jnp.where(sig_zero, jnp.sqrt(eps_i * eps_j), eps_wh)
-        epsilon = jnp.where(attractive_only & ~sig_zero, eps_wh, epsilon)
+        # reference quirk: the attractive-only branch never assigns
+        # epsilon (src/System.cpp:1081-1083); fresh calloc'd Pair nodes
+        # keep 0, so attractive-only pairs contribute zero energy
+        epsilon = jnp.where(attractive_only & ~sig_zero, 0.0, epsilon)
     elif flags.halgren_mixing:
         s2 = sig_i * sig_i + sig_j * sig_j
         sigma = jnp.where((sig_i > 0) & (sig_j > 0),
@@ -155,7 +158,9 @@ def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
         sigma = jnp.where(attractive_only,
                           0.5 * (jnp.abs(sig_i) + jnp.abs(sig_j)),
                           jnp.where(sig_zero, 0.0, 0.5 * (sig_i + sig_j)))
-        epsilon = jnp.sqrt(eps_i * eps_j)
+        # same quirk as WH: epsilon unassigned (-> 0) for attractive-only
+        # pairs (src/System.cpp:1167-1169)
+        epsilon = jnp.where(attractive_only, 0.0, jnp.sqrt(eps_i * eps_j))
 
     return sigma, epsilon, attractive_only, sigrep, c6m, c8m, c10m
 

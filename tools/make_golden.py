@@ -130,6 +130,30 @@ CASES = {
                         extra="disp_expansion on\ndamp_dispersion off\n"),
     "disp_tt_damped": dict(atoms=DISP_ATOMS,
                            extra="disp_expansion on\ndamp_dispersion on\n"),
+    "lj_c6_mixing": dict(atoms=MIXED_ATOMS, extra="c6_mixing on\n"),
+    "lj_9th_repulsion": dict(atoms=MIXED_ATOMS,
+                             extra="cdvdw_9th_repulsion on\n"),
+    "lj_rd_crystal": dict(atoms=MIXED_ATOMS,
+                          extra="rd_crystal on\nrd_crystal_order 2\n"
+                                "rd_lrc off\n"),
+    # NOTE: cdvdw_exp_repulsion cannot be oracle-tested: it requires
+    # polarvdw for its mixing branch, and the reference's coupled-dipole
+    # path both crashes on all-zero omegas (0-byte calloc in alloc_mtx,
+    # src/System.Energy.cpp:413) and returns uninitialised memory otherwise
+    # (dsyev_ commented out, :566,571).  Covered by unit + blocked-vs-dense
+    # consistency tests instead.
+    "wh_attractive_only": dict(
+        atoms=[("Aa", "AAA", 1, 0.5, 0.2, -0.3, 10.0, 0.0, 0.0, 80.0,
+                -3.1, 0, 0, 0, 0, 0, 0),
+               ("Bb", "BBB", 2, 3.9, 0.8, 0.7, 12.0, 0.0, 0.0, 95.0, 3.3,
+                0, 0, 0, 0, 0, 0)],
+        extra="waldmanhagler on\nrd_lrc off\n"),
+    "lb_attractive_only": dict(
+        atoms=[("Aa", "AAA", 1, 0.5, 0.2, -0.3, 10.0, 0.0, 0.0, 80.0,
+                -3.1, 0, 0, 0, 0, 0, 0),
+               ("Bb", "BBB", 2, 3.9, 0.8, 0.7, 12.0, 0.0, 0.0, 95.0, 3.3,
+                0, 0, 0, 0, 0, 0)],
+        extra="rd_lrc off\n"),
 }
 
 
