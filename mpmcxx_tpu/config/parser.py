@@ -84,7 +84,6 @@ SIMPLE_KEYWORDS: Dict[str, tuple] = {
     "cavity_autoreject_scale": ("cavity_autoreject_scale", _FLT),
     "cavity_autoreject_repulsion": ("cavity_autoreject_repulsion", _FLT),
     "polarization": ("polarization", _BOOL),
-    "polarvdw": ("polarvdw", _BOOL),  # special-cased below for evects/comp
     "cdvdw_9th_repulsion": ("cdvdw_9th_repulsion", _BOOL),
     "cdvdw_exp_repulsion": ("cdvdw_exp_repulsion", _BOOL),
     "cdvdw_sig_repulsion": ("cdvdw_sig_repulsion", _BOOL),
