@@ -165,6 +165,7 @@ class SimConfig:
     polar_max_iter: int = 0
     polar_wolf: bool = False
     polar_wolf_full: bool = False
+    polar_mixed: bool = False
     polar_wolf_alpha_lookup: bool = False
     polar_wolf_alpha: float = 0.0
     polar_wolf_alpha_lookup_cutoff: float = const.WOLF_ALPHA_LOOKUP_CUTOFF_DEFAULT
@@ -298,6 +299,7 @@ class SimConfig:
             polar_max_iter=self.polar_max_iter,
             polar_wolf=self.polar_wolf,
             polar_wolf_full=self.polar_wolf_full,
+            polar_mixed=self.polar_mixed,
             damp_type=self.damp_type,
             cavity_autoreject=self.cavity_autoreject,
             cavity_autoreject_absolute=self.cavity_autoreject_absolute,

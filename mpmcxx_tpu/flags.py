@@ -72,6 +72,11 @@ class FFlags:
     polar_max_iter: int = 0
     polar_wolf: bool = False
     polar_wolf_full: bool = False
+    # TPU mixed precision for the blocked SCF: pair coefficients are
+    # precomputed once in float32 (native VPU/MXU) and every iteration is
+    # pure einsums; dipoles/energies stay float64.  Off by default — the
+    # float64 golden-energy contract is exact only with this off.
+    polar_mixed: bool = False
     damp_type: int = const.DAMPING_EXPONENTIAL
 
     # cavity

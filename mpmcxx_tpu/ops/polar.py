@@ -514,17 +514,99 @@ def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
     return tiles.reshape(nb * block, 3)[:A]
 
 
+def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
+                       block: int = 128):
+    """One-time float32 pair coefficients for the mixed-precision SCF,
+    fused with the static field: returns ((c_outer, c_diag, dimg_f32),
+    E_static).
+
+    The dipole-field contraction T mu depends on mu only through two
+    einsums; everything geometric (minimum image, Thole damping, wolf
+    corrections) is mu-independent, so the blocked SCF was rebuilding it
+    every iteration in emulated float64.  Precompute it once here as
+    float32 [A,A] scalars + [A,A,3] displacements (~2 GB at 10k atoms) so
+    each iteration is native-f32 VPU/MXU work.  The static field rides the
+    same pass (build_pairs_rect is the dominant cost, ~1.4 s of each 1.5 s
+    pass at 10k atoms on v5e, so fusing halves setup).  Field error is
+    ~1e-6 relative — far below thermal noise, but not bit-identical to the
+    f64 path, hence the opt-in ``FFlags.polar_mixed``.
+    """
+    from .pairwise import build_pairs_rect
+    A = state.n_atom_slots
+    nb = -(-A // block)
+    rcut = state.pbc.cutoff
+
+    def body(_, b):
+        rows_f = b * block + jnp.arange(block)
+        rows = jnp.where(rows_f < A, rows_f, -1)
+        pt = build_pairs_rect(state, flags, rows)
+        r = pt.rimg
+        r_safe = jnp.where(r == 0.0, 1.0, r)
+        ir = 1.0 / r_safe
+        ir3 = ir ** 3
+        ir5 = ir ** 5
+        damp1, damp2, wdamp1, wdamp2 = _thole_damps(state, pt, flags,
+                                                    params)
+        mask = _not_self(state, pt) & pt.alive
+        c_outer = -3.0 * damp2 * ir5
+        c_diag = damp1 * ir3
+        if flags.polar_wolf_full:
+            c_outer = c_outer + 3.0 * wdamp2 * ir * ir / rcut ** 3
+            c_diag = c_diag - wdamp1 / rcut ** 3
+        c_outer = jnp.where(mask, c_outer, 0.0).astype(jnp.float32)
+        c_diag = jnp.where(mask, c_diag, 0.0).astype(jnp.float32)
+        if flags.polar_ewald:
+            e = real_term(state, pt, params)
+        elif flags.polar_wolf or flags.polar_wolf_full:
+            e = thole_field_wolf(state, pt, flags, params)
+        else:
+            e = thole_field_nopbc(state, pt)
+        return None, (c_outer, c_diag, pt.dimg.astype(jnp.float32), e)
+
+    _, (co, cd, d, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    co = co.reshape(nb * block, A)[:A]
+    cd = cd.reshape(nb * block, A)[:A]
+    d = d.reshape(nb * block, A, 3)[:A]
+    E = e.reshape(nb * block, 3)[:A]
+    if flags.polar_ewald:
+        E = E + recip_term(state, flags, params)
+    E = jnp.where(state.atom_alive()[:, None], E, 0.0)
+    return (co, cd, d), E
+
+
+def contract_mixed(coeffs, mu):
+    """ef_induced = -T mu from precomputed f32 coefficients.
+
+    Precision.HIGHEST keeps the reductions true-f32 (the TPU MXU default
+    silently runs bf16, which is not acceptable at Angstrom magnitudes).
+    """
+    co, cd, d = coeffs
+    hi = jax.lax.Precision.HIGHEST
+    m = mu.astype(jnp.float32)
+    dot = jnp.einsum("rjq,jq->rj", d, m, precision=hi)
+    ef = -(jnp.einsum("rj,rjp->rp", co * dot, d, precision=hi) +
+           jnp.matmul(cd, m, precision=hi))
+    return ef.astype(jnp.float64)
+
+
 def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
                   block: int = 128) -> PolarResult:
     """Large-system polarization: blocked static field + matrix-free
     iterative solver (the reference's O(iters * 9N^2) SCF with the
     A-matrix never materialised)."""
-    E_static = thole_field_blocked(state, flags, params, block)
+    if flags.polar_mixed:
+        coeffs, E_static = mixed_field_coeffs(state, flags, params, block)
+
+        def contract_fn(m):
+            return contract_mixed(coeffs, m)
+    else:
+        E_static = thole_field_blocked(state, flags, params, block)
+
+        def contract_fn(m):
+            return contract_blocked(state, flags, params, m, block)
     if flags.polar_iterative:
         mu, iters, failed, rrms = thole_iterative(
-            state, None, E_static, flags, params,
-            contract_fn=lambda m: contract_blocked(state, flags, params, m,
-                                                   block))
+            state, None, E_static, flags, params, contract_fn=contract_fn)
     else:
         # exact path: matrix-free CG on A mu = E (A is symmetric; PD for
         # physical polarizabilities) — the "matrix-free CG" target design
@@ -535,8 +617,7 @@ def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
         alive = state.atom_alive()[:, None]
 
         def matvec(m):
-            return m * inv_alpha - contract_blocked(state, flags, params,
-                                                    m, block)
+            return m * inv_alpha - contract_fn(m)
 
         b = jnp.where(alive, E_static, 0.0)
         mu, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=1e-12,
@@ -547,7 +628,7 @@ def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
         rrms = jnp.zeros(())
     pot = jnp.sum(mu * E_static)
     if flags.polar_palmo:
-        ef_ind = contract_blocked(state, flags, params, mu, block)
+        ef_ind = contract_fn(mu)
         safe_alpha = jnp.where(state.polarizability[:, None] == 0.0, 1.0,
                                state.polarizability[:, None])
         implied = mu / safe_alpha - E_static

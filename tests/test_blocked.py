@@ -76,3 +76,41 @@ def test_blocked_wolf_and_sg():
         assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-8)
         assert float(b.coulombic) == pytest.approx(float(a.coulombic),
                                                    abs=1e-8)
+
+
+def test_mixed_precision_polar_matches_f64():
+    """polar_mixed (f32 precomputed SCF coefficients) must agree with the
+    f64 blocked path to well under thermal resolution (~1e-5 relative)."""
+    state, _ = random_system(n=64, polar=True)
+    params = RunParams(temperature=120.0, ewald_alpha=3.5 / 11.0,
+                       polar_ewald_alpha=3.5 / 11.0, polar_damp=2.1304,
+                       polar_gamma=1.0, polar_precision=1e-9)
+    for extra in (dict(polar_iterative=True),
+                  dict(polar_iterative=False, polar_max_iter=10),
+                  dict(polar_iterative=True, polar_palmo=True)):
+        f64 = FFlags(polarization=True, polar_ewald=True,
+                     damp_type=const.DAMPING_EXPONENTIAL, **extra)
+        mix = f64.replace(polar_mixed=True)
+        a = energy_breakdown_blocked(state, f64, params, block=16)
+        b = energy_breakdown_blocked(state, mix, params, block=16)
+        assert float(b.polarization) == pytest.approx(
+            float(a.polarization), rel=3e-5)
+        assert float(b.polarization) != float(a.polarization) or \
+            float(a.polarization) == 0.0
+
+
+def test_mixed_precision_parses_from_input(tmp_path):
+    from mpmcxx_tpu.config.parser import parse_config
+    cfg = parse_config("""
+job_name t
+ensemble nvt
+temperature 50
+numsteps 1
+polarization on
+polar_iterative on
+polar_mixed on
+polar_max_iter 4
+pqr_input x.pqr
+""")
+    assert cfg.polar_mixed
+    assert cfg.to_flags().polar_mixed
