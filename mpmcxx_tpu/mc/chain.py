@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..ops import delta as delta_mod
+from ..ops import polar_cache as pcache_mod
 from ..ops.energy import EnergyBreakdown, energy_breakdown
 from ..state import Observables, SystemState
 from . import cavity as cavity_mod
@@ -62,6 +63,10 @@ class MCOptions:
     # static rect row count (largest movable molecule).
     incremental: bool = False
     max_mol_atoms: int = 1
+    # incremental polarization: maintain the float32 SCF coefficient cache
+    # + static field across moves (requires flags.polar_mixed; enabled by
+    # the driver when ops.polar_cache.supports(flags))
+    polar_incremental: bool = False
     # use the O(B*A) row-block tiling for full recomputes (init/refresh and
     # volume moves) — required above ~2k atoms where dense [A,A] tensors
     # would blow out HBM
@@ -85,6 +90,8 @@ class MCCarry(NamedTuple):
                                    # (bias probability, cavity volume)
     sf: delta_mod.SFCache          # Ewald structure-factor cache ([0] dims
                                    # when the incremental path is off)
+    pcache: pcache_mod.PolarCache  # incremental polarization cache ([0]
+                                   # dims when polar_incremental is off)
 
 
 class StepOut(NamedTuple):
@@ -308,7 +315,62 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                                       insert_com, insert_slot)
         v_old = state.pbc.volume
 
-        if opts.incremental:
+        if opts.incremental and opts.polar_incremental:
+            # rect Delta-E + incremental polarization cache; full recompute
+            # for VOLUME moves
+            row_mol = jnp.where(movetype == const.MOVETYPE_INSERT,
+                                jnp.maximum(insert_slot, 0), target)
+            if rows_of is not None:
+                rows = rows_of(row_mol)
+            else:
+                rows = jnp.nonzero(state.mol_id == row_mol,
+                                   size=opts.max_mol_atoms, fill_value=-1)[0]
+
+            def eval_delta_p(ns):
+                dres = delta_mod.delta_energy(state, ns, rows, carry.sf,
+                                              flags, params)
+                rd = carry.obs.rd_energy + dres.d_rd
+                coul = carry.obs.coulombic_energy + dres.d_coul
+                pc = pcache_mod.cache_move(carry.pcache, state, ns, rows,
+                                           flags, params)
+                pres = pcache_mod.polar_from_cache(ns, pc, flags, params)
+                if flags.cavity_autoreject_absolute:
+                    from ..ops.energy import cavity_absolute_check
+                    from ..ops.pairwise import build_pairs_rect
+                    ptr = build_pairs_rect(ns, flags, rows)
+                    pen = cavity_absolute_check(ns, ptr, params)
+                else:
+                    pen = jnp.zeros(())
+                return (rd, coul, pres.energy, pres.mu, pres.iterations,
+                        pres.iterator_failed, pres.dipole_rrms, pen,
+                        dres.sf_new, pc)
+
+            def eval_full_p(ns):
+                if opts.blocked_energy:
+                    from ..ops.energy import energy_breakdown_blocked
+                    ebf = energy_breakdown_blocked(ns, flags, params)
+                else:
+                    ebf = energy_breakdown(ns, flags, params)
+                sf_new = delta_mod.sf_compute(ns, flags, params) \
+                    if delta_mod.uses_recip(flags) else carry.sf
+                pc = pcache_mod.cache_init(ns, flags, params)
+                return (ebf.rd, ebf.coulombic, ebf.polarization, ebf.mu,
+                        ebf.polarization_iterations, ebf.iterator_failed,
+                        ebf.dipole_rrms, ebf.cavity_penalty, sf_new, pc)
+
+            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
+             pcache_new) = jax.lax.cond(
+                movetype == const.MOVETYPE_VOLUME, eval_full_p,
+                eval_delta_p, new_state)
+            eb = EnergyBreakdown(
+                total=rd + coul + pol, rd=rd, coulombic=coul,
+                polarization=pol, vdw=jnp.zeros(()),
+                three_body=jnp.zeros(()), kinetic=jnp.zeros(()),
+                mu=mu, polarization_iterations=piters,
+                iterator_failed=pfail, dipole_rrms=prrms,
+                cavity_penalty=pen)
+            new_state = new_state.replace(mu=mu)
+        elif opts.incremental:
             # rect Delta-E path for local moves; full recompute for VOLUME
             row_mol = jnp.where(movetype == const.MOVETYPE_INSERT,
                                 jnp.maximum(insert_slot, 0), target)
@@ -345,6 +407,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             rd, coul, pen, sf_new = jax.lax.cond(
                 movetype == const.MOVETYPE_VOLUME, eval_full, eval_delta,
                 new_state)
+            pcache_new = carry.pcache
             total = rd + coul
             eb = EnergyBreakdown(
                 total=total, rd=rd, coulombic=coul,
@@ -361,6 +424,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             else:
                 eb = energy_breakdown(new_state, flags, params)
             sf_new = carry.sf
+            pcache_new = carry.pcache
             if flags.polarization:
                 # keep converged dipoles on the state (dipole/field logs +
                 # SCF warm starts)
@@ -404,6 +468,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
         state_out = sel(new_state, state)
         obs_out = sel(obs_after, carry.obs)
         sf_out = sel(sf_new, carry.sf)
+        pcache_out = sel(pcache_new, carry.pcache)
 
         # simulated annealing on accept (src/System.MonteCarlo.cpp:74-85)
         if opts.simulated_annealing:
@@ -429,7 +494,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                       movetype=movetype,
                       polarization_iterations=eb.polarization_iterations)
         return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
-                       stats, cavity_carry, sf_out), out
+                       stats, cavity_carry, sf_out, pcache_out), out
 
     return step
 
@@ -467,6 +532,11 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
         sf = delta_mod.sf_compute(state, flags, params)
     else:
         sf = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
+    if opts.incremental and opts.polar_incremental:
+        pcache = jax.jit(lambda s: pcache_mod.cache_init(s, flags, params))(
+            state)
+    else:
+        pcache = pcache_mod.empty_cache()
     return MCCarry(
         state=state, obs=obs,
         temperature=jnp.asarray(params.temperature, jnp.float64),
@@ -475,6 +545,7 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
         stats=stats,
         cavity=jnp.zeros(2),
         sf=sf,
+        pcache=pcache,
     )
 
 
@@ -498,6 +569,10 @@ def make_refresher(flags: FFlags, base_params: RunParams, opts: MCOptions):
             sf = delta_mod.sf_compute(carry.state, flags, params)
         else:
             sf = carry.sf
-        return carry._replace(obs=obs, sf=sf)
+        if opts.incremental and opts.polar_incremental:
+            pcache = pcache_mod.cache_init(carry.state, flags, params)
+        else:
+            pcache = carry.pcache
+        return carry._replace(obs=obs, sf=sf, pcache=pcache)
 
     return refresh

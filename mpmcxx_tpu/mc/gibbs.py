@@ -26,7 +26,8 @@ from ..config.validate import validate
 from ..flags import FFlags, RunParams
 from ..io import output as out_io
 from ..io import pqr as pqr_io
-from ..ops.energy import energy_breakdown
+from ..ops import delta as delta_mod
+from ..ops.energy import EnergyBreakdown, energy_breakdown
 from ..state import SystemState, build_state
 from . import chain as chain_mod
 from . import moves
@@ -45,6 +46,8 @@ class GibbsCarry(NamedTuple):
     step: jnp.ndarray
     accept: jnp.ndarray   # [7]
     reject: jnp.ndarray
+    sf_a: delta_mod.SFCache  # per-box Ewald structure factors ([0] dims
+    sf_b: delta_mod.SFCache  # when the incremental path is off)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,13 +60,24 @@ class GibbsOptions:
     volume_change_factor: float = 0.25
     quantum_rotation: bool = False
     numsteps: int = 0
+    # rect Delta-E per box for local moves (ops.delta); coupled volume
+    # exchanges fall back to the full recompute
+    incremental: bool = False
+    max_mol_atoms: int = 1
+    blocked_energy: bool = False
 
 
 def make_gibbs_step(flags: FFlags, base_params: RunParams,
                     opts: GibbsOptions):
 
+    def full_breakdown(state, params):
+        if opts.blocked_energy:
+            from ..ops.energy import energy_breakdown_blocked
+            return energy_breakdown_blocked(state, flags, params)
+        return energy_breakdown(state, flags, params)
+
     def energy_and_obs(state, params):
-        eb = energy_breakdown(state, flags, params)
+        eb = full_breakdown(state, params)
         obs = chain_mod.observables_from_breakdown(
             state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
         return eb.total + eb.cavity_penalty, obs, eb.iterator_failed
@@ -106,14 +120,15 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
             return moves.spinflip(sa, ta), moves.spinflip(sb, tb), \
                 jnp.asarray(True)
 
+        slot_a = moves.find_dead_slot(sa, sa.mol_type[ta])
+        slot_b = moves.find_dead_slot(sb, sb.mol_type[tb])
+
         def do_transfer(sa, sb):
             def a2b(_):
-                slot = moves.find_dead_slot(sb, sb.mol_type[tb])
-                nb_new, valid = moves.insert(sb, ka2, tb, slot)
+                nb_new, valid = moves.insert(sb, ka2, tb, slot_b)
                 return moves.remove(sa, ta), nb_new, valid
             def b2a(_):
-                slot = moves.find_dead_slot(sa, sa.mol_type[ta])
-                na_new, valid = moves.insert(sa, ka1, ta, slot)
+                na_new, valid = moves.insert(sa, ka1, ta, slot_a)
                 return na_new, moves.remove(sb, tb), valid
             return jax.lax.cond(a_to_b, a2b, b2a, None)
 
@@ -144,8 +159,62 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
              lambda args: do_transfer(*args), lambda args: do_volume(*args)],
             (sa, sb))
 
-        ea, obs_a, fail_a = energy_and_obs(na_s, params)
-        eb_, obs_b, fail_b = energy_and_obs(nb_s, params)
+        if opts.incremental:
+            # rect Delta-E per box; coupled VOLUME moves fall back to the
+            # full recompute (all pair distances change)
+            is_xfer = movetype == const.MOVETYPE_INSERT
+            mol_a = jnp.where(is_xfer & ~a_to_b, jnp.maximum(slot_a, 0), ta)
+            mol_b = jnp.where(is_xfer & a_to_b, jnp.maximum(slot_b, 0), tb)
+            rows_a = jnp.nonzero(sa.mol_id == mol_a,
+                                 size=opts.max_mol_atoms, fill_value=-1)[0]
+            rows_b = jnp.nonzero(sb.mol_id == mol_b,
+                                 size=opts.max_mol_atoms, fill_value=-1)[0]
+
+            def make_eval(old, sf, obs_prev, rows):
+                def eval_delta(ns):
+                    d = delta_mod.delta_energy(old, ns, rows, sf, flags,
+                                               params)
+                    rd = obs_prev.rd_energy + d.d_rd
+                    coul = obs_prev.coulombic_energy + d.d_coul
+                    if flags.cavity_autoreject_absolute:
+                        from ..ops.energy import cavity_absolute_check
+                        from ..ops.pairwise import build_pairs_rect
+                        ptr = build_pairs_rect(ns, flags, rows)
+                        pen = cavity_absolute_check(ns, ptr, params)
+                    else:
+                        pen = jnp.zeros(())
+                    return rd, coul, pen, d.sf_new
+
+                def eval_full(ns):
+                    ebf = full_breakdown(ns, params)
+                    sf_new = delta_mod.sf_compute(ns, flags, params)                         if delta_mod.uses_recip(flags) else sf
+                    return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new
+
+                def run(ns):
+                    rd, coul, pen, sf_new = jax.lax.cond(
+                        movetype == const.MOVETYPE_VOLUME, eval_full,
+                        eval_delta, ns)
+                    ebk = EnergyBreakdown(
+                        total=rd + coul, rd=rd, coulombic=coul,
+                        polarization=jnp.zeros(()), vdw=jnp.zeros(()),
+                        three_body=jnp.zeros(()), kinetic=jnp.zeros(()),
+                        mu=old.mu * 0.0,
+                        polarization_iterations=jnp.zeros(()),
+                        iterator_failed=jnp.zeros((), bool),
+                        dipole_rrms=jnp.zeros(()), cavity_penalty=pen)
+                    obs = chain_mod.observables_from_breakdown(
+                        ns, ebk, flags, params, const.ENSEMBLE_NVT_GIBBS)
+                    return ebk.total + pen, obs, ebk.iterator_failed, sf_new
+                return run
+
+            ea, obs_a, fail_a, sf_a_new = make_eval(
+                sa, carry.sf_a, carry.obs_a, rows_a)(na_s)
+            eb_, obs_b, fail_b, sf_b_new = make_eval(
+                sb, carry.sf_b, carry.obs_b, rows_b)(nb_s)
+        else:
+            ea, obs_a, fail_a = energy_and_obs(na_s, params)
+            eb_, obs_b, fail_b = energy_and_obs(nb_s, params)
+            sf_a_new, sf_b_new = carry.sf_a, carry.sf_b
         dEa = ea - carry.energy_a
         dEb = eb_ - carry.energy_b
         finite = jnp.isfinite(ea) & jnp.isfinite(eb_)
@@ -215,6 +284,8 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
         energy_b = jnp.where(acc_b, eb_, carry.energy_b)
         obs_a_out = sel(acc_a, obs_a, carry.obs_a)
         obs_b_out = sel(acc_b, obs_b, carry.obs_b)
+        sf_a_out = sel(acc_a, sf_a_new, carry.sf_a)
+        sf_b_out = sel(acc_b, sf_b_new, carry.sf_b)
 
         accepted_any = acc_a | acc_b
         # report the transfer movetype as insert for stats purposes
@@ -223,7 +294,8 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
             state_a, state_b, energy_a, energy_b, obs_a_out, obs_b_out,
             carry.temperature, key, carry.step + 1,
             carry.accept + jnp.where(accepted_any, onehot, 0),
-            carry.reject + jnp.where(accepted_any, 0, onehot)), \
+            carry.reject + jnp.where(accepted_any, 0, onehot),
+            sf_a_out, sf_b_out), \
             (jnp.where(independent, bf_a_ind, bf_joint), accepted_any,
              movetype)
 
@@ -262,6 +334,18 @@ class GibbsSimulation:
 
         self.flags = cfg.to_flags()
         self.params = cfg.to_params()
+        incremental = delta_mod.supports(self.flags)
+        max_atoms = 1
+        for st in (self.state_a, self.state_b):
+            mid = np.asarray(st.mol_id)
+            counts = np.bincount(mid, minlength=st.n_mol_slots)
+            if len(counts):
+                max_atoms = max(max_atoms, int(counts.max()))
+        blocked = max(self.state_a.n_atom_slots,
+                      self.state_b.n_atom_slots) > 1024 and not (
+            self.flags.polarvdw or self.flags.using_axilrod_teller or
+            self.flags.rd_crystal or self.flags.gwp or self.flags.spectre or
+            self.flags.rd_anharmonic)
         self.opts = GibbsOptions(
             move_factor=cfg.move_factor, rot_factor=cfg.rot_factor,
             spinflip_probability=cfg.spinflip_probability,
@@ -269,7 +353,9 @@ class GibbsSimulation:
             transfer_probability=cfg.transfer_probability,
             volume_change_factor=cfg.volume_change_factor,
             quantum_rotation=cfg.quantum_rotation,
-            numsteps=cfg.numsteps)
+            numsteps=cfg.numsteps,
+            incremental=incremental, max_mol_atoms=max_atoms,
+            blocked_energy=blocked)
 
         self.avg = [AvgObservables(), AvgObservables()]
         step_fn = make_gibbs_step(self.flags, self.params, self.opts)
@@ -280,6 +366,30 @@ class GibbsSimulation:
         self._run_chunk = run_chunk
         self._step_fn = step_fn
         self._seed = cfg.preset_seed if cfg.preset_seed_on else 0
+
+        flags, params, opts = self.flags, self.params, self.opts
+
+        @jax.jit
+        def refresh(carry):
+            """Per-corrtime drift control on the incremental path: full
+            energy + structure-factor recompute (flag_all_pairs,
+            src/System.cpp:1284-1297)."""
+            def eo(state, sf):
+                if opts.blocked_energy:
+                    from ..ops.energy import energy_breakdown_blocked
+                    eb = energy_breakdown_blocked(state, flags, params)
+                else:
+                    eb = energy_breakdown(state, flags, params)
+                obs = chain_mod.observables_from_breakdown(
+                    state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
+                sf_new = delta_mod.sf_compute(state, flags, params) \
+                    if delta_mod.uses_recip(flags) else sf
+                return eb.total + eb.cavity_penalty, obs, sf_new
+            ea, obs_a, sf_a = eo(carry.state_a, carry.sf_a)
+            eb_, obs_b, sf_b = eo(carry.state_b, carry.sf_b)
+            return carry._replace(energy_a=ea, energy_b=eb_, obs_a=obs_a,
+                                  obs_b=obs_b, sf_a=sf_a, sf_b=sf_b)
+        self._refresh = refresh
 
     def _init_carry(self) -> GibbsCarry:
         params = self.params
@@ -293,11 +403,17 @@ class GibbsSimulation:
 
         ea, obs_a = eo(self.state_a)
         eb_, obs_b = eo(self.state_b)
+        if self.opts.incremental and delta_mod.uses_recip(flags):
+            sf_a = delta_mod.sf_compute(self.state_a, flags, params)
+            sf_b = delta_mod.sf_compute(self.state_b, flags, params)
+        else:
+            sf_a = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
+            sf_b = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
         return GibbsCarry(
             self.state_a, self.state_b, ea, eb_, obs_a, obs_b,
             jnp.asarray(self.cfg.temperature, jnp.float64),
             jax.random.PRNGKey(self._seed), jnp.zeros((), jnp.int64),
-            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64))
+            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64), sf_a, sf_b)
 
     def run(self):
         cfg = self.cfg
@@ -342,6 +458,8 @@ class GibbsSimulation:
             carry, _ = self._run_chunk(carry) if n == cfg.corrtime else \
                 jax.lax.scan(self._step_fn, carry, None, length=n)
             step += n
+            if self.opts.incremental:
+                carry = self._refresh(carry)
             ns = nodestats_from_counters(np.asarray(carry.accept),
                                          np.asarray(carry.reject), 0.0)
             for i in range(2):

@@ -75,8 +75,11 @@ def displace_rows(state: SystemState, key, rows, row_mask, move_factor,
     wsum = jnp.maximum(jnp.sum(w), 1e-300)
     com = jnp.sum(w[:, None] * pos_r, axis=0) / wsum
     new = quat.rotate(q, pos_r - com) + com + trans
-    new = jnp.where(row_mask[:, None], new, pos_r)
-    return state.replace(pos=state.pos.at[safe].set(new))
+    # drop-mode scatter: a clipped padding index (-1 -> 0) colliding with a
+    # genuine row 0 would otherwise race old-vs-new writes (molecule that
+    # owns atom slot 0 and is shorter than max_mol_atoms)
+    idx = jnp.where(row_mask, safe, state.n_atom_slots)
+    return state.replace(pos=state.pos.at[idx].set(new, mode="drop"))
 
 
 def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
@@ -97,9 +100,8 @@ def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
     angle_deg = jax.random.uniform(k_ang) * 360.0
     q = quat.from_axis_angle_deg(axis, angle_deg)
     newpos = quat.rotate(q, tmpl_pos - tmpl_com) + new_com
-    cur = state.pos[s_safe]
-    newpos = jnp.where((row_mask & valid)[:, None], newpos, cur)
-    pos = state.pos.at[s_safe].set(newpos)
+    s_idx = jnp.where(row_mask & valid, s_safe, A)
+    pos = state.pos.at[s_idx].set(newpos, mode="drop")
     slot_c = jnp.maximum(slot, 0)
     alive = state.mol_alive.at[slot_c].set(
         jnp.where(valid, True, state.mol_alive[slot_c]))

@@ -138,20 +138,28 @@ def _not_self(state: SystemState, pt: PairTensors):
         (pt.rows >= 0)[:, None]
 
 
-def thole_field_nopbc(state: SystemState, pt: PairTensors):
-    """(src/System.Energy.cpp:3300-3333)"""
+def _nopbc_field_scalars(state: SystemState, pt: PairTensors):
+    """Masked per-pair scalar f with E_i = sum_j f_ij q_j d_ij
+    (src/System.Energy.cpp:3300-3333).  f is symmetric in (i, j), so the
+    same slice also gives the field *sourced by* the row atoms (used by the
+    incremental polarization cache)."""
     mask = (~pt.frozen & ~pt.same_mol & pt.alive &
             (pt.rimg - const.SMALL_dR < state.pbc.cutoff) & (pt.rimg != 0.0) &
             _not_self(state, pt))
     r3 = jnp.where(pt.rimg == 0.0, 1.0, pt.rimg) ** 3
-    f = jnp.where(mask, 1.0 / r3, 0.0)
+    return jnp.where(mask, 1.0 / r3, 0.0)
+
+
+def thole_field_nopbc(state: SystemState, pt: PairTensors):
+    """(src/System.Energy.cpp:3300-3333)"""
+    f = _nopbc_field_scalars(state, pt)
     q_j = state.charge[None, :, None]
     return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
 
 
-def thole_field_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
-                     params: RunParams):
-    """(src/System.Energy.cpp:3337-3396)"""
+def _wolf_field_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
+                        params: RunParams):
+    """(src/System.Energy.cpp:3337-3396); symmetric in (i, j)."""
     R = state.pbc.cutoff
     rR = 1.0 / R
     a = params.polar_wolf_alpha
@@ -167,7 +175,13 @@ def thole_field_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
     f_a0 = (rr * rr - rR * rR) * rr
     f_an = (bigmess - cutoffterm) * rr
     f = jnp.where(a == 0.0, f_a0, f_an)
-    f = jnp.where(mask, f, 0.0)
+    return jnp.where(mask, f, 0.0)
+
+
+def thole_field_wolf(state: SystemState, pt: PairTensors, flags: FFlags,
+                     params: RunParams):
+    """(src/System.Energy.cpp:3337-3396)"""
+    f = _wolf_field_scalars(state, pt, flags, params)
     q_j = state.charge[None, :, None]
     return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
 
@@ -188,9 +202,9 @@ def recip_term(state: SystemState, flags: FFlags, params: RunParams):
     return E * 8.0 * const.pi / state.pbc.volume
 
 
-def real_term(state: SystemState, pt: PairTensors, params: RunParams):
-    """Real-space static field for the Ewald treatments
-    (src/System.Energy.cpp:2900-2940)."""
+def _real_field_scalars(state: SystemState, pt: PairTensors,
+                        params: RunParams):
+    """(src/System.Energy.cpp:2900-2940); symmetric in (i, j)."""
     a = params.polar_ewald_alpha
     base = pt.alive & ~pt.frozen & _not_self(state, pt) & \
         (pt.rimg != 0.0) & ~(pt.rimg > state.pbc.cutoff)
@@ -201,9 +215,27 @@ def real_term(state: SystemState, pt: PairTensors, params: RunParams):
     f_in = (2.0 * a * const.OneOverSqrtPi * jnp.exp(-a * a * r2) * r +
             erfc(a * r)) / (r2 * r)
     f = jnp.where(pt.es_excluded, f_ex, f_in)
-    f = jnp.where(base, f, 0.0)
+    return jnp.where(base, f, 0.0)
+
+
+def real_term(state: SystemState, pt: PairTensors, params: RunParams):
+    """Real-space static field for the Ewald treatments
+    (src/System.Energy.cpp:2900-2940)."""
+    f = _real_field_scalars(state, pt, params)
     q_j = state.charge[None, :, None]
     return jnp.sum(f[..., None] * q_j * pt.dimg, axis=1)
+
+
+def field_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
+                  params: RunParams):
+    """Per-pair static-field scalar for the active treatment: the field at
+    row i is sum_j f_ij q_j d_ij, and (f symmetric, d antisymmetric) the
+    field at j sourced by row atoms is -sum_i f_ij q_i d_ij."""
+    if flags.polar_ewald:
+        return _real_field_scalars(state, pt, params)
+    if flags.polar_wolf or flags.polar_wolf_full:
+        return _wolf_field_scalars(state, pt, flags, params)
+    return _nopbc_field_scalars(state, pt)
 
 
 def thole_field(state: SystemState, pt: PairTensors, flags: FFlags,
@@ -514,6 +546,30 @@ def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
     return tiles.reshape(nb * block, 3)[:A]
 
 
+def mixed_coeff_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
+                        params: RunParams):
+    """(c_outer, c_diag) float32 dipole-contraction coefficients for the
+    pairs in ``pt``: T_ij mu_j = c_outer d (d.mu) + c_diag mu.  Symmetric
+    in (i, j); used for both full precomputes and incremental row/column
+    updates."""
+    rcut = state.pbc.cutoff
+    r = pt.rimg
+    r_safe = jnp.where(r == 0.0, 1.0, r)
+    ir = 1.0 / r_safe
+    ir3 = ir ** 3
+    ir5 = ir ** 5
+    damp1, damp2, wdamp1, wdamp2 = _thole_damps(state, pt, flags, params)
+    mask = _not_self(state, pt) & pt.alive
+    c_outer = -3.0 * damp2 * ir5
+    c_diag = damp1 * ir3
+    if flags.polar_wolf_full:
+        c_outer = c_outer + 3.0 * wdamp2 * ir * ir / rcut ** 3
+        c_diag = c_diag - wdamp1 / rcut ** 3
+    c_outer = jnp.where(mask, c_outer, 0.0).astype(jnp.float32)
+    c_diag = jnp.where(mask, c_diag, 0.0).astype(jnp.float32)
+    return c_outer, c_diag
+
+
 def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
                        block: int = 128):
     """One-time float32 pair coefficients for the mixed-precision SCF,
@@ -534,27 +590,12 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
     from .pairwise import build_pairs_rect
     A = state.n_atom_slots
     nb = -(-A // block)
-    rcut = state.pbc.cutoff
 
     def body(_, b):
         rows_f = b * block + jnp.arange(block)
         rows = jnp.where(rows_f < A, rows_f, -1)
         pt = build_pairs_rect(state, flags, rows)
-        r = pt.rimg
-        r_safe = jnp.where(r == 0.0, 1.0, r)
-        ir = 1.0 / r_safe
-        ir3 = ir ** 3
-        ir5 = ir ** 5
-        damp1, damp2, wdamp1, wdamp2 = _thole_damps(state, pt, flags,
-                                                    params)
-        mask = _not_self(state, pt) & pt.alive
-        c_outer = -3.0 * damp2 * ir5
-        c_diag = damp1 * ir3
-        if flags.polar_wolf_full:
-            c_outer = c_outer + 3.0 * wdamp2 * ir * ir / rcut ** 3
-            c_diag = c_diag - wdamp1 / rcut ** 3
-        c_outer = jnp.where(mask, c_outer, 0.0).astype(jnp.float32)
-        c_diag = jnp.where(mask, c_diag, 0.0).astype(jnp.float32)
+        c_outer, c_diag = mixed_coeff_scalars(state, pt, flags, params)
         if flags.polar_ewald:
             e = real_term(state, pt, params)
         elif flags.polar_wolf or flags.polar_wolf_full:
@@ -604,6 +645,14 @@ def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
 
         def contract_fn(m):
             return contract_blocked(state, flags, params, m, block)
+    return finish_polar(state, flags, params, E_static, contract_fn)
+
+
+def finish_polar(state: SystemState, flags: FFlags, params: RunParams,
+                 E_static, contract_fn) -> PolarResult:
+    """Solve for the dipoles given a static field and a matrix-free
+    contraction, and assemble the polarization energy (shared tail of the
+    blocked and incremental-cache paths)."""
     if flags.polar_iterative:
         mu, iters, failed, rrms = thole_iterative(
             state, None, E_static, flags, params, contract_fn=contract_fn)

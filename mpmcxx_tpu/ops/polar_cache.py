@@ -1,0 +1,206 @@
+"""Incrementally maintained polarization state for the MC chain.
+
+The reference repolarizes from scratch every MC step (System::energy always
+calls polar(), src/System.Energy.cpp:93-116, which rebuilds the static
+field and the damped dipole interactions over all N^2 pairs).  On TPU the
+mu-independent parts of that work — pair geometry, Thole damping, static
+field, k-space phases — live in a cache that a local move updates in
+O(S*A) (S = atoms of the moved molecule), so the per-move polarization
+cost collapses to the SCF contractions themselves:
+
+- ``co``/``cd``/``d``: the float32 dipole-contraction coefficients of
+  ops.polar.mixed_field_coeffs.  Row updates are exact (the same formula
+  recomputed for the moved rows); columns follow by symmetry, so the
+  arrays stay bit-identical to a full rebuild.
+- ``e_pair``: the pairwise (ewald-real / wolf / nopbc) static field, f64.
+  A move shifts every atom's field by the moved atoms' old/new source
+  contributions (field scalars are symmetric, displacements antisymmetric)
+  and recomputes the moved rows outright.
+- ``cosp``/``sinp``/``f1``/``f2``: per-atom k-space phases (f32) and
+  charge structure factors (f64) over the polar k-lattice, giving the
+  reciprocal static field (src/System.Energy.cpp:2834-2896) in O(A*K)
+  float32 work instead of recomputing A*K trig in emulated f64.
+
+Requires FFlags.polar_mixed (the cache IS the mixed-precision coefficient
+set).  polar_ewald_full is excluded — its SCF couples dipoles through
+k-space, which has no row-local update.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..flags import FFlags, RunParams
+from ..state import SystemState
+from . import polar as polar_mod
+from .ewald import kvectors
+from .pairwise import build_pairs_rect
+
+
+class PolarCache(NamedTuple):
+    co: jnp.ndarray      # [A,A] f32 outer-product coefficient
+    cd: jnp.ndarray      # [A,A] f32 diagonal coefficient
+    d: jnp.ndarray       # [A,A,3] f32 minimum-image displacements
+    e_pair: jnp.ndarray  # [A,3] f64 pairwise static field
+    cosp: jnp.ndarray    # [A,K] f32 cos(k.r_i)  (K=0 when not polar_ewald)
+    sinp: jnp.ndarray    # [A,K] f32 sin(k.r_i)
+    f1: jnp.ndarray      # [K] f64 sum_j q_j cos(k.r_j)
+    f2: jnp.ndarray      # [K] f64 sum_j q_j sin(k.r_j)
+
+
+def empty_cache() -> PolarCache:
+    z2 = jnp.zeros((0, 0))
+    return PolarCache(z2, z2, jnp.zeros((0, 0, 3)), jnp.zeros((0, 3)),
+                      z2, z2, jnp.zeros(0), jnp.zeros(0))
+
+
+def supports(flags: FFlags) -> bool:
+    """True when polarization can ride the incremental cache (and the rest
+    of the energy is pairwise + k-space, as ops.delta requires)."""
+    return (flags.polarization and flags.polar_mixed and
+            not flags.polar_ewald_full and
+            not (flags.polarvdw or flags.using_axilrod_teller or
+                 flags.rd_crystal or flags.gwp or flags.spectre or
+                 flags.rd_anharmonic))
+
+
+def cache_init(state: SystemState, flags: FFlags, params: RunParams,
+               block: int = 128) -> PolarCache:
+    """Full O(A^2) build (once at chain start / every corrtime refresh)."""
+    A = state.n_atom_slots
+    nb = -(-A // block)
+
+    def body(_, b):
+        rows_f = b * block + jnp.arange(block)
+        rows = jnp.where(rows_f < A, rows_f, -1)
+        pt = build_pairs_rect(state, flags, rows)
+        co, cd = polar_mod.mixed_coeff_scalars(state, pt, flags, params)
+        f = polar_mod.field_scalars(state, pt, flags, params)
+        e = jnp.einsum("sj,j,sjp->sp", f, state.charge, pt.dimg)
+        return None, (co, cd, pt.dimg.astype(jnp.float32), e)
+
+    _, (co, cd, d, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    co = co.reshape(nb * block, A)[:A]
+    cd = cd.reshape(nb * block, A)[:A]
+    d = d.reshape(nb * block, A, 3)[:A]
+    e = e.reshape(nb * block, 3)[:A]
+
+    if flags.polar_ewald:
+        k, _ = kvectors(state, flags.ewald_kmax)
+        phase = state.pos @ k.T                       # [A,K]
+        cos64, sin64 = jnp.cos(phase), jnp.sin(phase)
+        q = jnp.where(state.atom_alive(), state.charge, 0.0)
+        f1, f2 = q @ cos64, q @ sin64
+        cosp = cos64.astype(jnp.float32)
+        sinp = sin64.astype(jnp.float32)
+    else:
+        cosp = jnp.zeros((A, 0), jnp.float32)
+        sinp = jnp.zeros((A, 0), jnp.float32)
+        f1 = jnp.zeros(0)
+        f2 = jnp.zeros(0)
+    return PolarCache(co, cd, d, e, cosp, sinp, f1, f2)
+
+
+def recip_field(state: SystemState, flags: FFlags, params: RunParams,
+                cache: PolarCache):
+    """k-space static field from the cached phases — the float32 cut of
+    ops.polar.recip_term (src/System.Energy.cpp:2834-2896)."""
+    ea = params.polar_ewald_alpha
+    k, k2 = kvectors(state, flags.ewald_kmax)
+    kw = (k / k2[:, None] * jnp.exp(-k2 / (4.0 * ea * ea))[:, None])
+    coeff = (cache.sinp * cache.f1.astype(jnp.float32)[None, :] -
+             cache.cosp * cache.f2.astype(jnp.float32)[None, :])
+    E = jnp.matmul(coeff, kw.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.float64)
+    return E * 8.0 * const.pi / state.pbc.volume
+
+
+def static_field(state: SystemState, flags: FFlags, params: RunParams,
+                 cache: PolarCache):
+    E = cache.e_pair
+    if flags.polar_ewald:
+        E = E + recip_field(state, flags, params, cache)
+    return jnp.where(state.atom_alive()[:, None], E, 0.0)
+
+
+def cache_move(cache: PolarCache, old_state: SystemState,
+               new_state: SystemState, rows, flags: FFlags,
+               params: RunParams) -> PolarCache:
+    """O(S*A) cache update for a move that changed only ``rows`` atoms
+    (positions and/or their molecule's aliveness).  Padded entries are -1.
+    """
+    A = old_state.n_atom_slots
+    safe = jnp.clip(rows, 0, A - 1)
+    valid = rows >= 0
+
+    pt_old = build_pairs_rect(old_state, flags, rows)
+    pt_new = build_pairs_rect(new_state, flags, rows)
+
+    # --- pairwise static field -------------------------------------------
+    f_old = polar_mod.field_scalars(old_state, pt_old, flags, params)
+    f_new = polar_mod.field_scalars(new_state, pt_new, flags, params)
+    q_rows_old = jnp.where(valid, old_state.charge[safe], 0.0)
+    q_rows_new = jnp.where(valid, new_state.charge[safe], 0.0)
+    # field sourced by the moved atoms, at every atom: f symmetric,
+    # d antisymmetric, so E_j += -f_sj q_s d_sj summed over s
+    C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_rows_old, pt_old.dimg)
+    C_new = -jnp.einsum("sj,s,sjp->jp", f_new, q_rows_new, pt_new.dimg)
+    e = cache.e_pair + (C_new - C_old)
+    # the moved rows' own field changed wholesale: recompute outright.
+    # Scatter via drop-mode out-of-bounds indices for the padded (-1)
+    # entries — clipping them to 0 would collide with a genuine row 0.
+    idx = jnp.where(valid, safe, A)
+    E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
+                        pt_new.dimg)
+    e = e.at[idx].set(E_rows, mode="drop")
+
+    # --- contraction coefficients (rows exact, columns by symmetry) ------
+    co_rows, cd_rows = polar_mod.mixed_coeff_scalars(new_state, pt_new,
+                                                     flags, params)
+    d_rows = pt_new.dimg.astype(jnp.float32)
+
+    co = cache.co.at[idx].set(co_rows, mode="drop")
+    co = co.at[:, idx].set(co_rows.T, mode="drop")
+    cd = cache.cd.at[idx].set(cd_rows, mode="drop")
+    cd = cd.at[:, idx].set(cd_rows.T, mode="drop")
+    d = cache.d.at[idx].set(d_rows, mode="drop")
+    d = d.at[:, idx, :].set(-d_rows.transpose(1, 0, 2), mode="drop")
+
+    # --- k-space phases / charge structure factors -----------------------
+    if flags.polar_ewald:
+        k, _ = kvectors(new_state, flags.ewald_kmax)
+        ph_old = old_state.pos[safe] @ k.T
+        ph_new = new_state.pos[safe] @ k.T
+        cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
+        cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
+        qo = jnp.where(valid & old_state.atom_alive()[safe],
+                       old_state.charge[safe], 0.0)
+        qn = jnp.where(valid & new_state.atom_alive()[safe],
+                       new_state.charge[safe], 0.0)
+        f1 = cache.f1 - qo @ cos_o + qn @ cos_n
+        f2 = cache.f2 - qo @ sin_o + qn @ sin_n
+        cosp = cache.cosp.at[idx].set(cos_n.astype(jnp.float32),
+                                      mode="drop")
+        sinp = cache.sinp.at[idx].set(sin_n.astype(jnp.float32),
+                                      mode="drop")
+    else:
+        cosp, sinp, f1, f2 = cache.cosp, cache.sinp, cache.f1, cache.f2
+
+    return PolarCache(co, cd, d, e, cosp, sinp, f1, f2)
+
+
+def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
+                     params: RunParams) -> polar_mod.PolarResult:
+    """Polarization energy with all mu-independent work cached: the same
+    SCF as ops.polar.polar_blocked, minus the O(A^2) setup."""
+    E_static = static_field(state, flags, params, cache)
+
+    def contract_fn(m):
+        return polar_mod.contract_mixed((cache.co, cache.cd, cache.d), m)
+
+    return polar_mod.finish_polar(state, flags, params, E_static,
+                                  contract_fn)

@@ -83,7 +83,9 @@ class Simulation:
         counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
         max_mol_atoms = int(counts.max()) if len(counts) else 1
         flags0 = cfg.to_flags()
-        incremental = delta_mod.supports(flags0)
+        from .ops import polar_cache as pcache_mod
+        polar_incremental = pcache_mod.supports(flags0)
+        incremental = delta_mod.supports(flags0) or polar_incremental
         blocked = self.state.n_atom_slots > 1024 and not (
             flags0.polarvdw or flags0.using_axilrod_teller or
             flags0.rd_crystal or flags0.gwp or flags0.spectre or
@@ -118,6 +120,7 @@ class Simulation:
             cavity_radius=cfg.cavity_radius,
             incremental=incremental,
             max_mol_atoms=max_mol_atoms,
+            polar_incremental=polar_incremental,
             blocked_energy=blocked,
         )
 

@@ -52,7 +52,9 @@ class TestGibbs:
             sa, sb, ea, eb_, oa, ob,
             jnp.asarray(130.0), jax.random.PRNGKey(seed),
             jnp.zeros((), jnp.int64), jnp.zeros(7, jnp.int64),
-            jnp.zeros(7, jnp.int64))
+            jnp.zeros(7, jnp.int64),
+            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)),
+            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)))
         step = gibbs_mod.make_gibbs_step(flags, params, opts)
         return carry, step
 
@@ -143,3 +145,62 @@ class TestTempering:
             np.testing.assert_allclose(np.sort(np.asarray(new_t)),
                                        np.sort(np.asarray(temps)))
             temps = new_t
+
+
+class TestGibbsIncremental:
+    def test_incremental_tracks_full_recompute(self):
+        """Delta-E Gibbs (displace + transfer + coupled volume fallback)
+        must stay consistent with from-scratch energies."""
+        rng = np.random.default_rng(4)
+
+        def charged_box(n_mol, L, seed):
+            r = np.random.default_rng(seed)
+            atoms = []
+            for m in range(n_mol):
+                base = r.uniform(-L / 2, L / 2, 3)
+                for a in range(2):
+                    off = r.normal(0, 0.9, 3)
+                    atoms.append(AtomRecord(
+                        "X", "MOL", m + 1, x=base[0] + off[0],
+                        y=base[1] + off[1], z=base[2] + off[2], mass=16.0,
+                        charge=408.7816 * (0.15 if a % 2 else -0.15),
+                        epsilon=80.0, sigma=3.1))
+            return build_state(atoms, np.eye(3) * L, extra_mol_capacity=6)
+
+        sa, _ = charged_box(8, 18.0, 1)
+        sb, _ = charged_box(6, 20.0, 2)
+        flags = FFlags()
+        params = RunParams(temperature=140.0, ewald_alpha=3.5 / 9.0)
+        opts = gibbs_mod.GibbsOptions(
+            move_factor=0.2, transfer_probability=0.3,
+            volume_probability=0.1, numsteps=80,
+            incremental=True, max_mol_atoms=2)
+
+        def eo(state):
+            eb = energy_breakdown(state, flags, params)
+            obs = chain_mod.observables_from_breakdown(
+                state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
+            return eb.total, obs
+
+        ea, oa = eo(sa)
+        eb_, ob = eo(sb)
+        carry = gibbs_mod.GibbsCarry(
+            sa, sb, ea, eb_, oa, ob, jnp.asarray(140.0),
+            jax.random.PRNGKey(7), jnp.zeros((), jnp.int64),
+            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64),
+            gibbs_mod.delta_mod.sf_compute(sa, flags, params),
+            gibbs_mod.delta_mod.sf_compute(sb, flags, params))
+        step = gibbs_mod.make_gibbs_step(flags, params, opts)
+        carry, out = jax.lax.scan(step, carry, None, length=80)
+        assert int(np.asarray(carry.accept).sum()) > 0
+        # transfers happened (INSERT encodes transfer)
+        assert int(np.asarray(out[2] == const.MOVETYPE_INSERT).sum()) > 0
+        for st, E in ((carry.state_a, carry.energy_a),
+                      (carry.state_b, carry.energy_b)):
+            ref = energy_breakdown(st, flags, params)
+            assert float(E) == pytest.approx(float(ref.total), rel=1e-9,
+                                             abs=1e-7)
+        # total volume conserved through coupled volume moves
+        assert float(carry.state_a.pbc.volume +
+                     carry.state_b.pbc.volume) == pytest.approx(
+            18.0 ** 3 + 20.0 ** 3, rel=1e-9)

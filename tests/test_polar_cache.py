@@ -1,0 +1,158 @@
+"""Incremental polarization cache: must stay consistent with full rebuilds
+through displace/insert/remove sequences, and the chain's polar-incremental
+path must track the full-recompute energies."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import FFlags, RunParams, constants as const
+from mpmcxx_tpu.mc import chain as chain_mod
+from mpmcxx_tpu.mc import moves
+from mpmcxx_tpu.ops import polar_cache as pc
+from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+
+def polar_system(n_mol=14, per_mol=2, L=18.0, seed=3, extra=6):
+    rng = np.random.default_rng(seed)
+    atoms = []
+    for m in range(n_mol):
+        base = rng.uniform(-L / 2, L / 2, 3)
+        for a in range(per_mol):
+            off = rng.normal(0, 1.0, 3)
+            atoms.append(AtomRecord(
+                "X", "MOL", m + 1, x=base[0] + off[0], y=base[1] + off[1],
+                z=base[2] + off[2], mass=16.0,
+                charge=408.7816 * (0.2 if a % 2 else -0.2),
+                polarizability=0.5, epsilon=60.0, sigma=3.0))
+    return build_state(atoms, np.eye(3) * L, extra_mol_capacity=extra)
+
+
+FLAGS = FFlags(polarization=True, polar_iterative=True, polar_ewald=True,
+               polar_mixed=True, damp_type=const.DAMPING_EXPONENTIAL,
+               polar_max_iter=12)
+PARAMS = RunParams(temperature=120.0, ewald_alpha=3.5 / 9.0,
+                   polar_ewald_alpha=3.5 / 9.0, polar_damp=2.1304,
+                   polar_gamma=1.0)
+
+
+def topology(state):
+    mol_id = np.asarray(state.mol_id)
+    starts, natoms = [], []
+    for m in range(state.n_mol_slots):
+        idx = np.nonzero(mol_id == m)[0]
+        starts.append(int(idx[0]) if len(idx) else 0)
+        natoms.append(len(idx))
+    return np.asarray(starts), np.asarray(natoms)
+
+
+def rows_of(state, mol, max_atoms):
+    starts, natoms = topology(state)
+    off = jnp.arange(max_atoms, dtype=jnp.int32)
+    r = starts[mol] + off
+    return jnp.where(off < natoms[mol], r, -1)
+
+
+class TestCacheConsistency:
+    def test_cache_move_matches_rebuild_through_move_sequence(self):
+        state, _ = polar_system()
+        cache = pc.cache_init(state, FLAGS, PARAMS, block=16)
+        key = jax.random.PRNGKey(0)
+
+        def check(cache, state):
+            ref = pc.cache_init(state, FLAGS, PARAMS, block=16)
+            np.testing.assert_array_equal(np.asarray(cache.co),
+                                          np.asarray(ref.co))
+            np.testing.assert_array_equal(np.asarray(cache.cd),
+                                          np.asarray(ref.cd))
+            np.testing.assert_array_equal(np.asarray(cache.d),
+                                          np.asarray(ref.d))
+            np.testing.assert_allclose(np.asarray(cache.e_pair),
+                                       np.asarray(ref.e_pair), atol=1e-9)
+            np.testing.assert_allclose(np.asarray(cache.f1),
+                                       np.asarray(ref.f1), atol=1e-9)
+            np.testing.assert_array_equal(np.asarray(cache.cosp),
+                                          np.asarray(ref.cosp))
+
+        # displacements (including molecule 0, the clip-collision case)
+        for mol in (0, 3, 7):
+            key, k = jax.random.split(key)
+            rows = rows_of(state, mol, 3)
+            new = moves.displace_rows(state, k, rows, rows >= 0, 0.3, 1.0)
+            cache = pc.cache_move(cache, state, new, rows, FLAGS, PARAMS)
+            state = new
+        check(cache, state)
+
+        # removal
+        rows = rows_of(state, 5, 3)
+        new = moves.remove(state, jnp.asarray(5))
+        cache = pc.cache_move(cache, state, new, rows, FLAGS, PARAMS)
+        state = new
+        check(cache, state)
+
+        # insertion into a dead template slot
+        slot = int(moves.find_dead_slot(state, state.mol_type[0]))
+        assert slot >= 0
+        rows_t = rows_of(state, 0, 3)
+        rows_s = rows_of(state, slot, 3)
+        key, k = jax.random.split(key)
+        new, valid = moves.insert_rows(state, k, rows_t, rows_s,
+                                       rows_t >= 0, jnp.asarray(slot),
+                                       jnp.asarray(True))
+        assert bool(valid)
+        cache = pc.cache_move(cache, state, new, rows_s, FLAGS, PARAMS)
+        state = new
+        check(cache, state)
+
+    def test_polar_from_cache_matches_blocked(self):
+        state, _ = polar_system()
+        cache = pc.cache_init(state, FLAGS, PARAMS, block=16)
+        res = pc.polar_from_cache(state, cache, FLAGS, PARAMS)
+        eb = energy_breakdown_blocked(state, FLAGS, PARAMS, block=16)
+        # recip static field rides f32 phases in the cache, so not
+        # bit-identical — but well under thermal resolution
+        assert float(res.energy) == pytest.approx(float(eb.polarization),
+                                                  rel=1e-6)
+
+
+class TestChainPolarIncremental:
+    def test_uvt_chain_tracks_full_recompute(self):
+        state, _ = polar_system()
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_UVT, move_factor=0.2,
+            insert_probability=0.3, fugacity=15.0, numsteps=120,
+            incremental=True, polar_incremental=True, max_mol_atoms=2,
+            blocked_energy=True)
+        topo = topology(state)
+        carry = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=2)
+        runner = chain_mod.make_chunk_runner(FLAGS, PARAMS, opts, 40,
+                                             topology=topo)
+        for _ in range(3):
+            carry, _ = runner(carry)
+        assert int(np.asarray(carry.stats.accept).sum()) > 0
+        # incremental bookkeeping must agree with a from-scratch recompute
+        eb = energy_breakdown_blocked(carry.state, FLAGS, PARAMS)
+        assert float(carry.obs.polarization_energy) == pytest.approx(
+            float(eb.polarization), rel=2e-6, abs=1e-8)
+        assert float(carry.obs.rd_energy) == pytest.approx(
+            float(eb.rd), rel=1e-9, abs=1e-9)
+        assert float(carry.obs.coulombic_energy) == pytest.approx(
+            float(eb.coulombic), rel=1e-9, abs=1e-9)
+        # dipoles carried on the state are the converged SCF dipoles
+        assert float(jnp.abs(carry.state.mu).max()) > 0.0
+
+    def test_refresher_rebuilds_cache(self):
+        state, _ = polar_system()
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_NVT, move_factor=0.2, numsteps=40,
+            incremental=True, polar_incremental=True, max_mol_atoms=2,
+            blocked_energy=True)
+        carry = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=5)
+        refresh = chain_mod.make_refresher(FLAGS, PARAMS, opts)
+        ref = refresh(carry)
+        np.testing.assert_array_equal(np.asarray(ref.pcache.co),
+                                      np.asarray(carry.pcache.co))
