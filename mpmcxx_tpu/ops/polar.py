@@ -602,32 +602,40 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
             e = thole_field_wolf(state, pt, flags, params)
         else:
             e = thole_field_nopbc(state, pt)
-        return None, (c_outer, c_diag, pt.dimg.astype(jnp.float32), e)
+        d32 = pt.dimg.astype(jnp.float32)
+        return None, (c_outer, c_diag, d32[..., 0], d32[..., 1],
+                      d32[..., 2], e)
 
-    _, (co, cd, d, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
     co = co.reshape(nb * block, A)[:A]
     cd = cd.reshape(nb * block, A)[:A]
-    d = d.reshape(nb * block, A, 3)[:A]
+    dx = dx.reshape(nb * block, A)[:A]
+    dy = dy.reshape(nb * block, A)[:A]
+    dz = dz.reshape(nb * block, A)[:A]
     E = e.reshape(nb * block, 3)[:A]
     if flags.polar_ewald:
         E = E + recip_term(state, flags, params)
     E = jnp.where(state.atom_alive()[:, None], E, 0.0)
-    return (co, cd, d), E
+    return (co, cd, dx, dy, dz), E
 
 
 def contract_mixed(coeffs, mu):
     """ef_induced = -T mu from precomputed f32 coefficients.
 
-    Precision.HIGHEST keeps the reductions true-f32 (the TPU MXU default
-    silently runs bf16, which is not acceptable at Angstrom magnitudes).
+    The displacements are stored as three [A,A] component planes rather
+    than one [A,A,3] tensor: a trailing length-3 axis tiles terribly on
+    the TPU lane dimension, while [A,A] planes make the whole contraction
+    a fused elementwise + lane-reduction pass.  All math is true f32
+    (never the MXU bf16 default), accumulated outputs cast back to f64.
     """
-    co, cd, d = coeffs
-    hi = jax.lax.Precision.HIGHEST
+    co, cd, dx, dy, dz = coeffs
     m = mu.astype(jnp.float32)
-    dot = jnp.einsum("rjq,jq->rj", d, m, precision=hi)
-    ef = -(jnp.einsum("rj,rjp->rp", co * dot, d, precision=hi) +
-           jnp.matmul(cd, m, precision=hi))
-    return ef.astype(jnp.float64)
+    mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
+    s = co * (dx * mx + dy * my + dz * mz)
+    ex = jnp.sum(s * dx + cd * mx, axis=1)
+    ey = jnp.sum(s * dy + cd * my, axis=1)
+    ez = jnp.sum(s * dz + cd * mz, axis=1)
+    return -jnp.stack([ex, ey, ez], axis=1).astype(jnp.float64)
 
 
 def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,

@@ -44,7 +44,9 @@ from .pairwise import build_pairs_rect
 class PolarCache(NamedTuple):
     co: jnp.ndarray      # [A,A] f32 outer-product coefficient
     cd: jnp.ndarray      # [A,A] f32 diagonal coefficient
-    d: jnp.ndarray       # [A,A,3] f32 minimum-image displacements
+    dx: jnp.ndarray      # [A,A] f32 minimum-image displacement planes
+    dy: jnp.ndarray      # (three [A,A] planes tile the TPU lane axis;
+    dz: jnp.ndarray      #  an [A,A,3] tensor would not)
     e_pair: jnp.ndarray  # [A,3] f64 pairwise static field
     cosp: jnp.ndarray    # [A,K] f32 cos(k.r_i)  (K=0 when not polar_ewald)
     sinp: jnp.ndarray    # [A,K] f32 sin(k.r_i)
@@ -54,7 +56,7 @@ class PolarCache(NamedTuple):
 
 def empty_cache() -> PolarCache:
     z2 = jnp.zeros((0, 0))
-    return PolarCache(z2, z2, jnp.zeros((0, 0, 3)), jnp.zeros((0, 3)),
+    return PolarCache(z2, z2, z2, z2, z2, jnp.zeros((0, 3)),
                       z2, z2, jnp.zeros(0), jnp.zeros(0))
 
 
@@ -81,12 +83,15 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
         co, cd = polar_mod.mixed_coeff_scalars(state, pt, flags, params)
         f = polar_mod.field_scalars(state, pt, flags, params)
         e = jnp.einsum("sj,j,sjp->sp", f, state.charge, pt.dimg)
-        return None, (co, cd, pt.dimg.astype(jnp.float32), e)
+        d32 = pt.dimg.astype(jnp.float32)
+        return None, (co, cd, d32[..., 0], d32[..., 1], d32[..., 2], e)
 
-    _, (co, cd, d, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
     co = co.reshape(nb * block, A)[:A]
     cd = cd.reshape(nb * block, A)[:A]
-    d = d.reshape(nb * block, A, 3)[:A]
+    dx = dx.reshape(nb * block, A)[:A]
+    dy = dy.reshape(nb * block, A)[:A]
+    dz = dz.reshape(nb * block, A)[:A]
     e = e.reshape(nb * block, 3)[:A]
 
     if flags.polar_ewald:
@@ -102,7 +107,7 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
         sinp = jnp.zeros((A, 0), jnp.float32)
         f1 = jnp.zeros(0)
         f2 = jnp.zeros(0)
-    return PolarCache(co, cd, d, e, cosp, sinp, f1, f2)
+    return PolarCache(co, cd, dx, dy, dz, e, cosp, sinp, f1, f2)
 
 
 def recip_field(state: SystemState, flags: FFlags, params: RunParams,
@@ -167,8 +172,14 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     co = co.at[:, idx].set(co_rows.T, mode="drop")
     cd = cache.cd.at[idx].set(cd_rows, mode="drop")
     cd = cd.at[:, idx].set(cd_rows.T, mode="drop")
-    d = cache.d.at[idx].set(d_rows, mode="drop")
-    d = d.at[:, idx, :].set(-d_rows.transpose(1, 0, 2), mode="drop")
+
+    def upd_plane(plane, rows_plane):
+        plane = plane.at[idx].set(rows_plane, mode="drop")
+        return plane.at[:, idx].set(-rows_plane.T, mode="drop")
+
+    dx = upd_plane(cache.dx, d_rows[..., 0])
+    dy = upd_plane(cache.dy, d_rows[..., 1])
+    dz = upd_plane(cache.dz, d_rows[..., 2])
 
     # --- k-space phases / charge structure factors -----------------------
     if flags.polar_ewald:
@@ -190,7 +201,7 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     else:
         cosp, sinp, f1, f2 = cache.cosp, cache.sinp, cache.f1, cache.f2
 
-    return PolarCache(co, cd, d, e, cosp, sinp, f1, f2)
+    return PolarCache(co, cd, dx, dy, dz, e, cosp, sinp, f1, f2)
 
 
 def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
@@ -200,7 +211,8 @@ def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
     E_static = static_field(state, flags, params, cache)
 
     def contract_fn(m):
-        return polar_mod.contract_mixed((cache.co, cache.cd, cache.d), m)
+        return polar_mod.contract_mixed(
+            (cache.co, cache.cd, cache.dx, cache.dy, cache.dz), m)
 
     return polar_mod.finish_polar(state, flags, params, E_static,
                                   contract_fn)

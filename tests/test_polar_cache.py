@@ -69,8 +69,10 @@ class TestCacheConsistency:
                                           np.asarray(ref.co))
             np.testing.assert_array_equal(np.asarray(cache.cd),
                                           np.asarray(ref.cd))
-            np.testing.assert_array_equal(np.asarray(cache.d),
-                                          np.asarray(ref.d))
+            for pl in ("dx", "dy", "dz"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(cache, pl)),
+                    np.asarray(getattr(ref, pl)))
             np.testing.assert_allclose(np.asarray(cache.e_pair),
                                        np.asarray(ref.e_pair), atol=1e-9)
             np.testing.assert_allclose(np.asarray(cache.f1),
