@@ -90,8 +90,10 @@ SIMPLE_KEYWORDS: Dict[str, tuple] = {
     "polar_ewald_full": ("polar_ewald_full", _BOOL),
     "polar_ewald": ("polar_ewald", _BOOL),
     "polar_wolf_full": ("polar_wolf_full", _BOOL),
-    # TPU extension: float32 pair coefficients for the blocked SCF
+    # TPU extensions: float32 pair coefficients for the blocked SCF,
+    # and SCF warm starts from carried dipoles
     "polar_mixed": ("polar_mixed", _BOOL),
+    "polar_warm_start": ("polar_warm_start", _BOOL),
     "polar_wolf": ("polar_wolf", _BOOL),
     "polar_wolf_alpha_lookup": ("polar_wolf_alpha_lookup", _BOOL),
     "polar_wolf_damp": ("polar_wolf_alpha", _FLT),

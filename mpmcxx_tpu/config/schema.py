@@ -166,6 +166,7 @@ class SimConfig:
     polar_wolf: bool = False
     polar_wolf_full: bool = False
     polar_mixed: bool = False
+    polar_warm_start: bool = False
     polar_wolf_alpha_lookup: bool = False
     polar_wolf_alpha: float = 0.0
     polar_wolf_alpha_lookup_cutoff: float = const.WOLF_ALPHA_LOOKUP_CUTOFF_DEFAULT
@@ -300,6 +301,7 @@ class SimConfig:
             polar_wolf=self.polar_wolf,
             polar_wolf_full=self.polar_wolf_full,
             polar_mixed=self.polar_mixed,
+            polar_warm_start=self.polar_warm_start,
             damp_type=self.damp_type,
             cavity_autoreject=self.cavity_autoreject,
             cavity_autoreject_absolute=self.cavity_autoreject_absolute,

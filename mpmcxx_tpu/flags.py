@@ -77,6 +77,9 @@ class FFlags:
     # pure einsums; dipoles/energies stay float64.  Off by default — the
     # float64 golden-energy contract is exact only with this off.
     polar_mixed: bool = False
+    # warm-start the SCF from the dipoles carried on the state (only
+    # honored with precision-based termination; reference cold-starts)
+    polar_warm_start: bool = False
     damp_type: int = const.DAMPING_EXPONENTIAL
 
     # cavity

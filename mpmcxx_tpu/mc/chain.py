@@ -212,10 +212,13 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                 return moves.displace_1d(s, k1, target, opts.move_factor), \
                     jnp.asarray(True)
             if opts.spectre:
-                return moves.spectre_displace(
+                moved = moves.spectre_displace(
                     s, k1, target, opts.move_factor,
-                    opts.spectre_max_charge, opts.spectre_max_target), \
-                    jnp.asarray(True)
+                    opts.spectre_max_charge, opts.spectre_max_target)
+                # domain wrap after every SPECTRE move
+                # (src/System.MonteCarlo.cpp:1183)
+                return moves.spectre_wrapall(
+                    moved, opts.spectre_max_target), jnp.asarray(True)
             if opts.gwp:
                 # gwp molecules: displace with gwp_probability scale and
                 # perturb widths (src/System.MonteCarlo.cpp:868-875)

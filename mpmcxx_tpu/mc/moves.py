@@ -275,3 +275,21 @@ def spectre_renormalize(state: SystemState, charge):
     residual = jnp.sum(jnp.where(sp, charge, 0.0))
     frac = -residual / jnp.where(nsp == 0, 1.0, nsp)
     return jnp.where(sp, charge + frac, charge)
+
+
+def spectre_wrapall(state: SystemState, max_target) -> SystemState:
+    """Pull SPECTRE charges into the restricted cubic domain of side
+    2*spectre_max_target around the target particle
+    (src/System.cpp:1302-1342; the reference's atom loop leaves the LAST
+    target-flagged atom as the wrap center)."""
+    sidelen = 2.0 * max_target
+    tgt = state.target & state.atom_alive()
+    # last target-flagged atom, as in the reference's overwrite loop
+    idx_last = jnp.max(jnp.where(tgt, jnp.arange(state.n_atom_slots), -1))
+    center = jnp.where(jnp.any(tgt),
+                       state.pos[jnp.maximum(idx_last, 0)],
+                       jnp.zeros(3))
+    d = state.pos - center[None, :]
+    wrapped = state.pos - sidelen * jnp.round(d / sidelen)
+    pos = jnp.where(state.spectre[:, None], wrapped, state.pos)
+    return state.replace(pos=pos)

@@ -285,6 +285,15 @@ def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
     mu0 = alpha * E_static
     if not (flags.polar_sor or flags.polar_esor):
         mu0 = mu0 * params.polar_gamma
+    if flags.polar_warm_start and not flags.polar_zodid and \
+            params.polar_precision > 0.0:
+        # TPU extension (off by default): start from the previous accepted
+        # step's converged dipoles carried on the state — same fixed point
+        # under precision termination, fewer iterations.  The reference
+        # always cold-starts from alpha*E (init_dipoles,
+        # src/System.Energy.cpp:3547-3560), which stays the default.
+        carried = jnp.any(state.mu != 0.0)
+        mu0 = jnp.where(carried, state.mu, mu0)
     mu0 = jnp.where(alive, mu0, 0.0)
 
     if flags.polar_zodid:
@@ -629,6 +638,10 @@ def contract_mixed(coeffs, mu):
     (never the MXU bf16 default), accumulated outputs cast back to f64.
     """
     co, cd, dx, dy, dz = coeffs
+    if jax.default_backend() not in ("cpu",):
+        from . import pallas_polar
+        if pallas_polar.supported(co.shape[0]):
+            return pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu)
     m = mu.astype(jnp.float32)
     mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
     s = co * (dx * mx + dy * my + dz * mz)

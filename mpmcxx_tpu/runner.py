@@ -78,6 +78,12 @@ class Simulation:
         self.flags = cfg.to_flags()
         self.params = cfg.to_params()
 
+        # initial SPECTRE domain wrap (src/SimulationControl.cpp:192)
+        if cfg.spectre:
+            from .mc import moves as moves_mod
+            self.state = moves_mod.spectre_wrapall(self.state,
+                                                   cfg.spectre_max_target)
+
         # incremental Delta-E stepping whenever the energy is pairwise
         mol_id = np.asarray(self.state.mol_id)
         counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)

@@ -1,0 +1,77 @@
+"""Pallas kernels validated in interpreter mode against the XLA paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestCavityKernel:
+    def test_occupancy_matches_dense(self):
+        from mpmcxx_tpu.ops.pallas_cavity import occupancy_pallas
+        rng = np.random.default_rng(0)
+        P, A = 300, 70
+        points = jnp.asarray(rng.uniform(-10, 10, (P, 3)))
+        pos = jnp.asarray(rng.uniform(-10, 10, (A, 3)))
+        alive = jnp.asarray(rng.uniform(size=A) < 0.8)
+        r = 2.4
+        got = occupancy_pallas(points, pos, alive, r, interpret=True)
+        d = points[:, None, :] - pos[None, :, :]
+        want = jnp.any((jnp.sum(d * d, -1) < r * r) & alive[None, :], axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestContractKernel:
+    def test_contract_matches_xla_planes(self):
+        from mpmcxx_tpu.ops import pallas_polar
+        rng = np.random.default_rng(1)
+        A = 256
+        assert pallas_polar.supported(A)
+
+        def sym(mat):
+            return jnp.asarray((mat + mat.T) / 2, jnp.float32)
+
+        def antisym(mat):
+            return jnp.asarray((mat - mat.T) / 2, jnp.float32)
+
+        co = sym(rng.normal(size=(A, A)) * 0.01)
+        cd = sym(rng.normal(size=(A, A)) * 0.02)
+        dx = antisym(rng.normal(size=(A, A)))
+        dy = antisym(rng.normal(size=(A, A)))
+        dz = antisym(rng.normal(size=(A, A)))
+        mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
+
+        got = pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu,
+                                           interpret=True)
+        m = mu.astype(jnp.float32)
+        mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
+        s = co * (dx * mx + dy * my + dz * mz)
+        want = -jnp.stack([jnp.sum(s * dx + cd * mx, 1),
+                           jnp.sum(s * dy + cd * my, 1),
+                           jnp.sum(s * dz + cd * mz, 1)], 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_column_tiling_accumulation(self, monkeypatch):
+        # cap the column tile to force multiple j-iterations: the
+        # accumulation path must produce the same totals
+        from mpmcxx_tpu.ops import pallas_polar
+        monkeypatch.setattr(pallas_polar, "BC_MAX", 128)
+        rng = np.random.default_rng(2)
+        A = 384
+        co = jnp.asarray(rng.normal(size=(A, A)), jnp.float32) * 0.01
+        cd = jnp.asarray(rng.normal(size=(A, A)), jnp.float32) * 0.01
+        dx = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
+        dy = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
+        dz = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
+        mu = jnp.asarray(rng.normal(size=(A, 3)))
+        got = pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu,
+                                           interpret=True)
+        m = mu.astype(jnp.float32)
+        mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
+        s = co * (dx * mx + dy * my + dz * mz)
+        want = -jnp.stack([jnp.sum(s * dx + cd * mx, 1),
+                           jnp.sum(s * dy + cd * my, 1),
+                           jnp.sum(s * dz + cd * mz, 1)], 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-5)

@@ -158,3 +158,30 @@ class TestChainPolarIncremental:
         ref = refresh(carry)
         np.testing.assert_array_equal(np.asarray(ref.pcache.co),
                                       np.asarray(carry.pcache.co))
+
+
+class TestWarmStart:
+    def test_warm_start_same_fixed_point_fewer_iterations(self):
+        state, _ = polar_system()
+        params = dataclasses.replace(PARAMS, polar_precision=1e-10)
+        cold = FLAGS
+        warm = FLAGS.replace(polar_warm_start=True)
+        eb_cold = energy_breakdown_blocked(state, cold, params, block=16)
+        # carry the converged dipoles on the state, then re-solve warm
+        state_w = state.replace(mu=eb_cold.mu)
+        eb_warm = energy_breakdown_blocked(state_w, warm, params, block=16)
+        assert float(eb_warm.polarization) == pytest.approx(
+            float(eb_cold.polarization), rel=1e-8)
+        assert float(eb_warm.polarization_iterations) <= \
+            float(eb_cold.polarization_iterations)
+        assert float(eb_warm.polarization_iterations) >= 1.0
+
+    def test_warm_start_ignored_with_fixed_iterations(self):
+        # precision==0 (fixed iteration count) must keep the reference's
+        # cold alpha*E start even when the flag is on
+        state, _ = polar_system()
+        warm = FLAGS.replace(polar_warm_start=True)
+        st = state.replace(mu=jnp.ones_like(state.mu))
+        a = energy_breakdown_blocked(st, FLAGS, PARAMS, block=16)
+        b = energy_breakdown_blocked(st, warm, PARAMS, block=16)
+        assert float(a.polarization) == float(b.polarization)
