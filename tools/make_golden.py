@@ -121,6 +121,39 @@ CASES = {
         extra="polarization on\npolar_iterative off\n"
               "polar_damp_type exponential\npolar_damp 2.1304\n"
               "polar_max_iter 10\n"),
+    # Gauss-Seidel variants: the reference sweeps in place (sequential);
+    # we run Jacobi — same fixed point, so tight precision must agree
+    "polar_gs": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_gs on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.0000000001\n"),
+    "polar_gs_ranked": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_gs_ranked on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.0000000001\n"),
+    "polar_esor": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_esor on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 0.9\npolar_precision 0.00000001\n"),
+    "polar_zodid": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_zodid on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_max_iter 4\n"),
+    "polar_wolf_full": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_wolf_full on\n"
+              "polar_wolf_alpha 0.2\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
+    "polar_damp_off": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\n"
+              "polar_damp_type off\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n"),
     "sg": dict(atoms=MIXED_ATOMS[:2], extra="sg on\n"),
     "dreiding": dict(atoms=MIXED_ATOMS, extra="dreiding on\n"),
     "lj_buffered_14_7": dict(atoms=MIXED_ATOMS,
