@@ -148,3 +148,61 @@ basis3 0 0 16
         from mpmcxx_tpu.mc import fugacity as fug
         f_used = fug.co2_fugacity(298.0, 10.0)
         assert 0 < f_used < 10.0
+
+
+class TestCLIPolarizableGCMC:
+    def test_polar_mixed_incremental_cli_run(self, tmp_path, monkeypatch):
+        """Full driver path for the flagship workload shape: polarizable
+        GCMC with polar_mixed — the runner must auto-enable the
+        incremental polarization cache and produce consistent output."""
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(9)
+        with open("sorb.pqr", "w") as f:
+            i = 1
+            for m in range(5):
+                x, y, z = rng.uniform(-5, 5, 3)
+                for a in range(2):
+                    q = 0.25 if a else -0.25
+                    f.write(f"ATOM  {i:5d} X    MOL M {m+1:4d}   "
+                            f"{x+a*1.1:8.3f}{y:8.3f}{z:8.3f} 16.000 "
+                            f"{q:7.4f}  0.5000 60.0  3.00  0.0  0.0\n")
+                    i += 1
+            f.write("END\n")
+        with open("run.in", "w") as f:
+            f.write("""job_name pol
+ensemble uvt
+temperature 150.0
+free_volume 4096
+pressure 12.0
+insert_probability 0.35
+numsteps 80
+corrtime 40
+seed 11
+move_factor 0.2
+polarization on
+polar_iterative on
+polar_ewald on
+polar_mixed on
+polar_max_iter 6
+polar_damp_type exponential
+polar_damp 2.1304
+pqr_input sorb.pqr
+basis1 14 0 0
+basis2 0 14 0
+basis3 0 0 14
+""")
+        from mpmcxx_tpu.cli import main
+        from mpmcxx_tpu.runner import Simulation
+        from mpmcxx_tpu.config.parser import read_config
+        cfg = read_config("run.in")
+        sim = Simulation(cfg, quiet=True)
+        assert sim.opts.polar_incremental      # auto-enabled
+        assert sim.opts.incremental
+        assert main(["--quiet", "run.in"]) == 0
+        lines = open("pol.energy.dat").read().splitlines()
+        assert len(lines) >= 3
+        # polar column is live (non-zero) in the incremental path
+        import csv
+        last = lines[-1].split()
+        polar_col = float(last[4])
+        assert polar_col != 0.0
