@@ -185,3 +185,31 @@ class TestWarmStart:
         a = energy_breakdown_blocked(st, FLAGS, PARAMS, block=16)
         b = energy_breakdown_blocked(st, warm, PARAMS, block=16)
         assert float(a.polarization) == float(b.polarization)
+
+
+class TestReplicaPolarIncremental:
+    def test_replica_sharded_chains_with_polar_cache(self):
+        """Polarizable incremental chains must vmap + shard over the
+        replica mesh (the pcache becomes a leading-[R] batched pytree)."""
+        from mpmcxx_tpu.parallel import replicas as rep
+        state, _ = polar_system(n_mol=8)
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_NVT, move_factor=0.2, numsteps=16,
+            incremental=True, polar_incremental=True, max_mol_atoms=2,
+            blocked_energy=True)
+        carry = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=3)
+        R = 8
+        batched = rep.replicate_carry(carry, R, base_seed=5)
+        mesh = rep.make_mesh(R)
+        runner = rep.make_replica_runner(FLAGS, PARAMS, opts, 16, mesh)
+        out, _ = runner(batched)
+        assert out.state.pos.shape[0] == R
+        assert out.pcache.co.shape[0] == R
+        # replicas diverge (different RNG) but each stays consistent
+        energies = np.asarray(out.obs.energy)
+        assert len(set(np.round(energies, 6))) > 1
+        eb = energy_breakdown_blocked(
+            jax.tree_util.tree_map(lambda x: x[0], out.state),
+            FLAGS, PARAMS)
+        assert float(energies[0]) == pytest.approx(float(eb.total),
+                                                   rel=2e-6)
