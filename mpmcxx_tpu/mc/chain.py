@@ -334,9 +334,10 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                                               flags, params)
                 rd = carry.obs.rd_energy + dres.d_rd
                 coul = carry.obs.coulombic_energy + dres.d_coul
-                pc = pcache_mod.cache_move(carry.pcache, state, ns, rows,
-                                           flags, params)
-                pres = pcache_mod.polar_from_cache(ns, pc, flags, params)
+                # matrix-free proposal: the cached planes stay read-only
+                # here; the commit below scatters in place post-decision
+                pres = pcache_mod.polar_proposal(carry.pcache, state, ns,
+                                                 rows, flags, params)
                 if flags.cavity_autoreject_absolute:
                     from ..ops.energy import cavity_absolute_check
                     from ..ops.pairwise import build_pairs_rect
@@ -346,7 +347,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     pen = jnp.zeros(())
                 return (rd, coul, pres.energy, pres.mu, pres.iterations,
                         pres.iterator_failed, pres.dipole_rrms, pen,
-                        dres.sf_new, pc)
+                        dres.sf_new)
 
             def eval_full_p(ns):
                 if opts.blocked_energy:
@@ -356,15 +357,14 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     ebf = energy_breakdown(ns, flags, params)
                 sf_new = delta_mod.sf_compute(ns, flags, params) \
                     if delta_mod.uses_recip(flags) else carry.sf
-                pc = pcache_mod.cache_init(ns, flags, params)
                 return (ebf.rd, ebf.coulombic, ebf.polarization, ebf.mu,
                         ebf.polarization_iterations, ebf.iterator_failed,
-                        ebf.dipole_rrms, ebf.cavity_penalty, sf_new, pc)
+                        ebf.dipole_rrms, ebf.cavity_penalty, sf_new)
 
-            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
-             pcache_new) = jax.lax.cond(
-                movetype == const.MOVETYPE_VOLUME, eval_full_p,
-                eval_delta_p, new_state)
+            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new) = \
+                jax.lax.cond(movetype == const.MOVETYPE_VOLUME, eval_full_p,
+                             eval_delta_p, new_state)
+            pcache_rows = rows
             eb = EnergyBreakdown(
                 total=rd + coul + pol, rd=rd, coulombic=coul,
                 polarization=pol, vdw=jnp.zeros(()),
@@ -471,7 +471,23 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
         state_out = sel(new_state, state)
         obs_out = sel(obs_after, carry.obs)
         sf_out = sel(sf_new, carry.sf)
-        pcache_out = sel(pcache_new, carry.pcache)
+        if opts.incremental and opts.polar_incremental:
+            # commit the polarization cache to the SELECTED state: on
+            # reject this rewrites the moved rows with their current
+            # values (harmless, and it trims e_pair accumulation drift);
+            # volume moves rebuild outright
+            def commit_move(c):
+                return pcache_mod.cache_move(c, state, state_out,
+                                             pcache_rows, flags, params)
+
+            def commit_volume(c):
+                return pcache_mod.cache_init(state_out, flags, params)
+
+            pcache_out = jax.lax.cond(movetype == const.MOVETYPE_VOLUME,
+                                      commit_volume, commit_move,
+                                      carry.pcache)
+        else:
+            pcache_out = sel(pcache_new, carry.pcache)
 
         # simulated annealing on accept (src/System.MonteCarlo.cpp:74-85)
         if opts.simulated_annealing:

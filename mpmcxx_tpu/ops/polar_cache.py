@@ -204,6 +204,123 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     return PolarCache(co, cd, dx, dy, dz, e, cosp, sinp, f1, f2)
 
 
+def polar_proposal(cache: PolarCache, old_state: SystemState,
+                   new_state: SystemState, rows, flags: FFlags,
+                   params: RunParams) -> polar_mod.PolarResult:
+    """Polarization energy of a PROPOSED move without materialising an
+    updated cache.
+
+    The cache differs from the proposal's coefficient set only in the
+    moved rows/columns, so each SCF iteration contracts against the
+    unmodified cache and applies O(S*A) row/column corrections.  This
+    keeps the big planes read-only inside the MC step — the commit
+    (cache_move on the accepted state) is then free to scatter in place,
+    instead of copying + tree-selecting ~2 GB per move at 10k atoms.
+    """
+    A = old_state.n_atom_slots
+    safe = jnp.clip(rows, 0, A - 1)
+    valid = rows >= 0
+    idx = jnp.where(valid, safe, A)
+    in_R = jnp.zeros(A, bool).at[idx].set(True, mode="drop")
+
+    pt_old = build_pairs_rect(old_state, flags, rows)
+    pt_new = build_pairs_rect(new_state, flags, rows)
+
+    # --- proposal's static field (all [A,3]-small outputs) ----------------
+    f_old = polar_mod.field_scalars(old_state, pt_old, flags, params)
+    f_new = polar_mod.field_scalars(new_state, pt_new, flags, params)
+    q_ro = jnp.where(valid, old_state.charge[safe], 0.0)
+    q_rn = jnp.where(valid, new_state.charge[safe], 0.0)
+    C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_ro, pt_old.dimg)
+    C_new = -jnp.einsum("sj,s,sjp->jp", f_new, q_rn, pt_new.dimg)
+    e = cache.e_pair + (C_new - C_old)
+    E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
+                        pt_new.dimg)
+    e = e.at[idx].set(E_rows, mode="drop")
+
+    if flags.polar_ewald:
+        k, _ = kvectors(new_state, flags.ewald_kmax)
+        ea = params.polar_ewald_alpha
+        _, k2 = kvectors(new_state, flags.ewald_kmax)
+        kw = (k / k2[:, None] * jnp.exp(-k2 / (4.0 * ea * ea))[:, None])
+        ph_old = old_state.pos[safe] @ k.T
+        ph_new = new_state.pos[safe] @ k.T
+        cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
+        cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
+        qo = jnp.where(valid & old_state.atom_alive()[safe],
+                       old_state.charge[safe], 0.0)
+        qn = jnp.where(valid & new_state.atom_alive()[safe],
+                       new_state.charge[safe], 0.0)
+        f1 = cache.f1 - qo @ cos_o + qn @ cos_n
+        f2 = cache.f2 - qo @ sin_o + qn @ sin_n
+        hi = jax.lax.Precision.HIGHEST
+        coeff = (cache.sinp * f1.astype(jnp.float32)[None, :] -
+                 cache.cosp * f2.astype(jnp.float32)[None, :])
+        E_recip = jnp.matmul(coeff, kw.astype(jnp.float32),
+                             precision=hi).astype(jnp.float64)
+        # the moved rows' phases changed: fix their recip field directly
+        row_coeff = (sin_n * f1[None, :] - cos_n * f2[None, :])
+        E_recip = E_recip.at[idx].set(row_coeff @ kw, mode="drop")
+        e = e + E_recip * 8.0 * const.pi / new_state.pbc.volume
+    E_static = jnp.where(new_state.atom_alive()[:, None], e, 0.0)
+
+    # --- row blocks, new (from geometry) and old (gathered from cache) ---
+    co_n, cd_n = polar_mod.mixed_coeff_scalars(new_state, pt_new, flags,
+                                               params)
+    d_n = pt_new.dimg.astype(jnp.float32)
+    vm = valid[:, None]
+    co_n = jnp.where(vm, co_n, 0.0)
+    cd_n = jnp.where(vm, cd_n, 0.0)
+    dxn = jnp.where(vm, d_n[..., 0], 0.0)
+    dyn = jnp.where(vm, d_n[..., 1], 0.0)
+    dzn = jnp.where(vm, d_n[..., 2], 0.0)
+    co_o = jnp.where(vm, cache.co[safe], 0.0)
+    cd_o = jnp.where(vm, cache.cd[safe], 0.0)
+    dxo = jnp.where(vm, cache.dx[safe], 0.0)
+    dyo = jnp.where(vm, cache.dy[safe], 0.0)
+    dzo = jnp.where(vm, cache.dz[safe], 0.0)
+
+    def contract_fn(m):
+        base = polar_mod.contract_mixed(
+            (cache.co, cache.cd, cache.dx, cache.dy, cache.dz), m)
+        m32 = m.astype(jnp.float32)
+        mx = m32[:, 0][None, :]
+        my = m32[:, 1][None, :]
+        mz = m32[:, 2][None, :]
+        mu_r = jnp.where(vm, m32[safe], 0.0)                 # [S,3]
+
+        def row_ef(co_b, cd_b, dxb, dyb, dzb):
+            # field AT the row atoms from everyone: -(sum_j M_sj mu_j)
+            s = co_b * (dxb * mx + dyb * my + dzb * mz)
+            ex = jnp.sum(s * dxb + cd_b * mx, axis=1)
+            ey = jnp.sum(s * dyb + cd_b * my, axis=1)
+            ez = jnp.sum(s * dzb + cd_b * mz, axis=1)
+            return -jnp.stack([ex, ey, ez], 1).astype(jnp.float64)
+
+        def col_ef(co_b, cd_b, dxb, dyb, dzb):
+            # field AT every atom i sourced by the row atoms j in R:
+            # co symmetric, d antisymmetric, so the double flip cancels
+            # and the row-block arrays serve directly (dot uses mu_j of
+            # the ROW atom)
+            dot = (dxb * mu_r[:, 0:1] + dyb * mu_r[:, 1:2] +
+                   dzb * mu_r[:, 2:3])                        # [S,A]
+            s = co_b * dot
+            gx = jnp.sum(s * dxb + cd_b * mu_r[:, 0:1], axis=0)
+            gy = jnp.sum(s * dyb + cd_b * mu_r[:, 1:2], axis=0)
+            gz = jnp.sum(s * dzb + cd_b * mu_r[:, 2:3], axis=0)
+            return -jnp.stack([gx, gy, gz], 1).astype(jnp.float64)
+
+        col_corr = col_ef(co_n, cd_n, dxn, dyn, dzn) - \
+            col_ef(co_o, cd_o, dxo, dyo, dzo)
+        # pairs with i in R belong to the wholesale row replacement below
+        ef = base + jnp.where(in_R[:, None], 0.0, col_corr)
+        return ef.at[idx].set(row_ef(co_n, cd_n, dxn, dyn, dzn),
+                              mode="drop")
+
+    return polar_mod.finish_polar(new_state, flags, params, E_static,
+                                  contract_fn)
+
+
 def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
                      params: RunParams) -> polar_mod.PolarResult:
     """Polarization energy with all mu-independent work cached: the same

@@ -213,3 +213,65 @@ class TestReplicaPolarIncremental:
             FLAGS, PARAMS)
         assert float(energies[0]) == pytest.approx(float(eb.total),
                                                    rel=2e-6)
+
+
+class TestProposalContraction:
+    def test_proposal_matches_materialized_cache(self):
+        """polar_proposal (read-only corrections) must agree with solving
+        on a materialised cache_move cache, for displace/insert/remove."""
+        state, _ = polar_system()
+        cache = pc.cache_init(state, FLAGS, PARAMS, block=16)
+        key = jax.random.PRNGKey(4)
+
+        def compare(old, new, rows):
+            a = pc.polar_proposal(cache, old, new, rows, FLAGS, PARAMS)
+            mat = pc.cache_move(cache, old, new, rows, FLAGS, PARAMS)
+            b = pc.polar_from_cache(new, mat, FLAGS, PARAMS)
+            # f32 reassociation differs between the corrected and the
+            # materialised contraction; both carry ~1e-7-class coefficients
+            assert float(a.energy) == pytest.approx(float(b.energy),
+                                                    rel=1e-7)
+
+        rows = rows_of(state, 0, 3)   # molecule 0: clip-collision regime
+        moved = moves.displace_rows(state, key, rows, rows >= 0, 0.4, 1.0)
+        compare(state, moved, rows)
+
+        rows = rows_of(state, 6, 3)
+        compare(state, moves.remove(state, jnp.asarray(6)), rows)
+
+        slot = int(moves.find_dead_slot(state, state.mol_type[0]))
+        rows_s = rows_of(state, slot, 3)
+        new, valid = moves.insert_rows(state, key, rows_of(state, 2, 3),
+                                       rows_s, rows_of(state, 2, 3) >= 0,
+                                       jnp.asarray(slot), jnp.asarray(True))
+        assert bool(valid)
+        compare(state, new, rows_s)
+
+
+class TestChainPolarNPT:
+    def test_npt_volume_moves_rebuild_cache(self):
+        state, _ = polar_system(n_mol=10)
+        params = dataclasses.replace(PARAMS, pressure=80.0)
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_NPT, move_factor=0.2,
+            volume_probability=0.4, volume_change_factor=0.1, numsteps=60,
+            incremental=True, polar_incremental=True, max_mol_atoms=2,
+            blocked_energy=True)
+        carry = chain_mod.init_carry(state, FLAGS, params, opts, seed=8)
+        runner = chain_mod.make_chunk_runner(FLAGS, params, opts, 60,
+                                             topology=topology(state))
+        carry, out = runner(carry)
+        # volume moves actually fired
+        n_vol = int(np.asarray(out.movetype == const.MOVETYPE_VOLUME).sum())
+        assert n_vol > 5
+        eb = energy_breakdown_blocked(carry.state, FLAGS, params)
+        assert float(carry.obs.polarization_energy) == pytest.approx(
+            float(eb.polarization), rel=2e-6, abs=1e-8)
+        assert float(carry.obs.energy) == pytest.approx(
+            float(eb.total), rel=1e-6, abs=1e-6)
+        # cache still matches a rebuild after mixed volume/displace traffic
+        ref = pc.cache_init(carry.state, FLAGS, params, block=16)
+        np.testing.assert_allclose(np.asarray(carry.pcache.e_pair),
+                                   np.asarray(ref.e_pair), atol=1e-8)
+        np.testing.assert_array_equal(np.asarray(carry.pcache.co),
+                                      np.asarray(ref.co))
