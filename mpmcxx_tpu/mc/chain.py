@@ -90,6 +90,9 @@ class MCCarry(NamedTuple):
                                    # (bias probability, cavity volume)
     sf: delta_mod.SFCache          # Ewald structure-factor cache ([0] dims
                                    # when the incremental path is off)
+    recip_e: jnp.ndarray           # current state's k-space energy (the
+                                   # other half of the SF cache: it only
+                                   # changes on accept)
     pcache: pcache_mod.PolarCache  # incremental polarization cache ([0]
                                    # dims when polar_incremental is off)
 
@@ -331,7 +334,8 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
             def eval_delta_p(ns):
                 dres = delta_mod.delta_energy(state, ns, rows, carry.sf,
-                                              flags, params)
+                                              flags, params,
+                                              recip_old=carry.recip_e)
                 rd = carry.obs.rd_energy + dres.d_rd
                 coul = carry.obs.coulombic_energy + dres.d_coul
                 # matrix-free proposal: the cached planes stay read-only
@@ -347,7 +351,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     pen = jnp.zeros(())
                 return (rd, coul, pres.energy, pres.mu, pres.iterations,
                         pres.iterator_failed, pres.dipole_rrms, pen,
-                        dres.sf_new)
+                        dres.sf_new, dres.recip_new)
 
             def eval_full_p(ns):
                 if opts.blocked_energy:
@@ -355,13 +359,19 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     ebf = energy_breakdown_blocked(ns, flags, params)
                 else:
                     ebf = energy_breakdown(ns, flags, params)
-                sf_new = delta_mod.sf_compute(ns, flags, params) \
-                    if delta_mod.uses_recip(flags) else carry.sf
+                if delta_mod.uses_recip(flags):
+                    sf_new = delta_mod.sf_compute(ns, flags, params)
+                    recip_new = delta_mod.recip_energy(sf_new, ns, flags,
+                                                       params)
+                else:
+                    sf_new, recip_new = carry.sf, jnp.zeros(())
                 return (ebf.rd, ebf.coulombic, ebf.polarization, ebf.mu,
                         ebf.polarization_iterations, ebf.iterator_failed,
-                        ebf.dipole_rrms, ebf.cavity_penalty, sf_new)
+                        ebf.dipole_rrms, ebf.cavity_penalty, sf_new,
+                        recip_new)
 
-            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new) = \
+            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
+             recip_new) = \
                 jax.lax.cond(movetype == const.MOVETYPE_VOLUME, eval_full_p,
                              eval_delta_p, new_state)
             pcache_rows = rows
@@ -385,7 +395,8 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
             def eval_delta(ns):
                 d = delta_mod.delta_energy(state, ns, rows, carry.sf,
-                                           flags, params)
+                                           flags, params,
+                                           recip_old=carry.recip_e)
                 rd = carry.obs.rd_energy + d.d_rd
                 coul = carry.obs.coulombic_energy + d.d_coul
                 if flags.cavity_autoreject_absolute:
@@ -395,7 +406,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     pen = cavity_absolute_check(ns, ptr, params)
                 else:
                     pen = jnp.zeros(())
-                return rd, coul, pen, d.sf_new
+                return rd, coul, pen, d.sf_new, d.recip_new
 
             def eval_full(ns):
                 if opts.blocked_energy:
@@ -403,11 +414,16 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     ebf = energy_breakdown_blocked(ns, flags, params)
                 else:
                     ebf = energy_breakdown(ns, flags, params)
-                sf_new = delta_mod.sf_compute(ns, flags, params) \
-                    if delta_mod.uses_recip(flags) else carry.sf
-                return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new
+                if delta_mod.uses_recip(flags):
+                    sf_new = delta_mod.sf_compute(ns, flags, params)
+                    recip_new = delta_mod.recip_energy(sf_new, ns, flags,
+                                                       params)
+                else:
+                    sf_new, recip_new = carry.sf, jnp.zeros(())
+                return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new, \
+                    recip_new
 
-            rd, coul, pen, sf_new = jax.lax.cond(
+            rd, coul, pen, sf_new, recip_new = jax.lax.cond(
                 movetype == const.MOVETYPE_VOLUME, eval_full, eval_delta,
                 new_state)
             pcache_new = carry.pcache
@@ -427,6 +443,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             else:
                 eb = energy_breakdown(new_state, flags, params)
             sf_new = carry.sf
+            recip_new = carry.recip_e
             pcache_new = carry.pcache
             if flags.polarization:
                 # keep converged dipoles on the state (dipole/field logs +
@@ -471,6 +488,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
         state_out = sel(new_state, state)
         obs_out = sel(obs_after, carry.obs)
         sf_out = sel(sf_new, carry.sf)
+        recip_out = jnp.where(accept, recip_new, carry.recip_e)
         if opts.incremental and opts.polar_incremental:
             # commit the polarization cache to the SELECTED state: on
             # reject this rewrites the moved rows with their current
@@ -513,7 +531,8 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                       movetype=movetype,
                       polarization_iterations=eb.polarization_iterations)
         return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
-                       stats, cavity_carry, sf_out, pcache_out), out
+                       stats, cavity_carry, sf_out, recip_out,
+                       pcache_out), out
 
     return step
 
@@ -549,8 +568,10 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
                       boltzmann_factor=jnp.zeros(()))
     if opts.incremental and delta_mod.uses_recip(flags):
         sf = delta_mod.sf_compute(state, flags, params)
+        recip_e = delta_mod.recip_energy(sf, state, flags, params)
     else:
         sf = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
+        recip_e = jnp.zeros(())
     if opts.incremental and opts.polar_incremental:
         pcache = jax.jit(lambda s: pcache_mod.cache_init(s, flags, params))(
             state)
@@ -564,6 +585,7 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
         stats=stats,
         cavity=jnp.zeros(2),
         sf=sf,
+        recip_e=recip_e,
         pcache=pcache,
     )
 
@@ -586,12 +608,15 @@ def make_refresher(flags: FFlags, base_params: RunParams, opts: MCOptions):
                                          opts.ensemble)
         if opts.incremental and delta_mod.uses_recip(flags):
             sf = delta_mod.sf_compute(carry.state, flags, params)
+            recip_e = delta_mod.recip_energy(sf, carry.state, flags,
+                                             params)
         else:
-            sf = carry.sf
+            sf, recip_e = carry.sf, carry.recip_e
         if opts.incremental and opts.polar_incremental:
             pcache = pcache_mod.cache_init(carry.state, flags, params)
         else:
             pcache = carry.pcache
-        return carry._replace(obs=obs, sf=sf, pcache=pcache)
+        return carry._replace(obs=obs, sf=sf, recip_e=recip_e,
+                              pcache=pcache)
 
     return refresh

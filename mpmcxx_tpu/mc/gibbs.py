@@ -48,6 +48,8 @@ class GibbsCarry(NamedTuple):
     reject: jnp.ndarray
     sf_a: delta_mod.SFCache  # per-box Ewald structure factors ([0] dims
     sf_b: delta_mod.SFCache  # when the incremental path is off)
+    recip_a: jnp.ndarray     # per-box current k-space energies (change
+    recip_b: jnp.ndarray     # only on accept)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,10 +172,10 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
             rows_b = jnp.nonzero(sb.mol_id == mol_b,
                                  size=opts.max_mol_atoms, fill_value=-1)[0]
 
-            def make_eval(old, sf, obs_prev, rows):
+            def make_eval(old, sf, obs_prev, rows, recip_old):
                 def eval_delta(ns):
                     d = delta_mod.delta_energy(old, ns, rows, sf, flags,
-                                               params)
+                                               params, recip_old=recip_old)
                     rd = obs_prev.rd_energy + d.d_rd
                     coul = obs_prev.coulombic_energy + d.d_coul
                     if flags.cavity_autoreject_absolute:
@@ -183,15 +185,21 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
                         pen = cavity_absolute_check(ns, ptr, params)
                     else:
                         pen = jnp.zeros(())
-                    return rd, coul, pen, d.sf_new
+                    return rd, coul, pen, d.sf_new, d.recip_new
 
                 def eval_full(ns):
                     ebf = full_breakdown(ns, params)
-                    sf_new = delta_mod.sf_compute(ns, flags, params)                         if delta_mod.uses_recip(flags) else sf
-                    return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new
+                    if delta_mod.uses_recip(flags):
+                        sf_new = delta_mod.sf_compute(ns, flags, params)
+                        rec_new = delta_mod.recip_energy(sf_new, ns, flags,
+                                                         params)
+                    else:
+                        sf_new, rec_new = sf, jnp.zeros(())
+                    return (ebf.rd, ebf.coulombic, ebf.cavity_penalty,
+                            sf_new, rec_new)
 
                 def run(ns):
-                    rd, coul, pen, sf_new = jax.lax.cond(
+                    rd, coul, pen, sf_new, recip_new = jax.lax.cond(
                         movetype == const.MOVETYPE_VOLUME, eval_full,
                         eval_delta, ns)
                     ebk = EnergyBreakdown(
@@ -204,17 +212,19 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
                         dipole_rrms=jnp.zeros(()), cavity_penalty=pen)
                     obs = chain_mod.observables_from_breakdown(
                         ns, ebk, flags, params, const.ENSEMBLE_NVT_GIBBS)
-                    return ebk.total + pen, obs, ebk.iterator_failed, sf_new
+                    return ebk.total + pen, obs, ebk.iterator_failed, \
+                        sf_new, recip_new
                 return run
 
-            ea, obs_a, fail_a, sf_a_new = make_eval(
-                sa, carry.sf_a, carry.obs_a, rows_a)(na_s)
-            eb_, obs_b, fail_b, sf_b_new = make_eval(
-                sb, carry.sf_b, carry.obs_b, rows_b)(nb_s)
+            ea, obs_a, fail_a, sf_a_new, recip_a_new = make_eval(
+                sa, carry.sf_a, carry.obs_a, rows_a, carry.recip_a)(na_s)
+            eb_, obs_b, fail_b, sf_b_new, recip_b_new = make_eval(
+                sb, carry.sf_b, carry.obs_b, rows_b, carry.recip_b)(nb_s)
         else:
             ea, obs_a, fail_a = energy_and_obs(na_s, params)
             eb_, obs_b, fail_b = energy_and_obs(nb_s, params)
             sf_a_new, sf_b_new = carry.sf_a, carry.sf_b
+            recip_a_new, recip_b_new = carry.recip_a, carry.recip_b
         dEa = ea - carry.energy_a
         dEb = eb_ - carry.energy_b
         finite = jnp.isfinite(ea) & jnp.isfinite(eb_)
@@ -286,6 +296,8 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
         obs_b_out = sel(acc_b, obs_b, carry.obs_b)
         sf_a_out = sel(acc_a, sf_a_new, carry.sf_a)
         sf_b_out = sel(acc_b, sf_b_new, carry.sf_b)
+        recip_a_out = jnp.where(acc_a, recip_a_new, carry.recip_a)
+        recip_b_out = jnp.where(acc_b, recip_b_new, carry.recip_b)
 
         accepted_any = acc_a | acc_b
         # report the transfer movetype as insert for stats purposes
@@ -295,7 +307,7 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
             carry.temperature, key, carry.step + 1,
             carry.accept + jnp.where(accepted_any, onehot, 0),
             carry.reject + jnp.where(accepted_any, 0, onehot),
-            sf_a_out, sf_b_out), \
+            sf_a_out, sf_b_out, recip_a_out, recip_b_out), \
             (jnp.where(independent, bf_a_ind, bf_joint), accepted_any,
              movetype)
 
@@ -382,13 +394,18 @@ class GibbsSimulation:
                     eb = energy_breakdown(state, flags, params)
                 obs = chain_mod.observables_from_breakdown(
                     state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
-                sf_new = delta_mod.sf_compute(state, flags, params) \
-                    if delta_mod.uses_recip(flags) else sf
-                return eb.total + eb.cavity_penalty, obs, sf_new
-            ea, obs_a, sf_a = eo(carry.state_a, carry.sf_a)
-            eb_, obs_b, sf_b = eo(carry.state_b, carry.sf_b)
+                if delta_mod.uses_recip(flags):
+                    sf_new = delta_mod.sf_compute(state, flags, params)
+                    recip = delta_mod.recip_energy(sf_new, state, flags,
+                                                   params)
+                else:
+                    sf_new, recip = sf, jnp.zeros(())
+                return eb.total + eb.cavity_penalty, obs, sf_new, recip
+            ea, obs_a, sf_a, recip_a = eo(carry.state_a, carry.sf_a)
+            eb_, obs_b, sf_b, recip_b = eo(carry.state_b, carry.sf_b)
             return carry._replace(energy_a=ea, energy_b=eb_, obs_a=obs_a,
-                                  obs_b=obs_b, sf_a=sf_a, sf_b=sf_b)
+                                  obs_b=obs_b, sf_a=sf_a, sf_b=sf_b,
+                                  recip_a=recip_a, recip_b=recip_b)
         self._refresh = refresh
 
     def _init_carry(self) -> GibbsCarry:
@@ -406,14 +423,21 @@ class GibbsSimulation:
         if self.opts.incremental and delta_mod.uses_recip(flags):
             sf_a = delta_mod.sf_compute(self.state_a, flags, params)
             sf_b = delta_mod.sf_compute(self.state_b, flags, params)
+            recip_a = delta_mod.recip_energy(sf_a, self.state_a, flags,
+                                             params)
+            recip_b = delta_mod.recip_energy(sf_b, self.state_b, flags,
+                                             params)
         else:
             sf_a = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
             sf_b = delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0))
+            recip_a = jnp.zeros(())
+            recip_b = jnp.zeros(())
         return GibbsCarry(
             self.state_a, self.state_b, ea, eb_, obs_a, obs_b,
             jnp.asarray(self.cfg.temperature, jnp.float64),
             jax.random.PRNGKey(self._seed), jnp.zeros((), jnp.int64),
-            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64), sf_a, sf_b)
+            jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64), sf_a, sf_b,
+            recip_a, recip_b)
 
     def run(self):
         cfg = self.cfg

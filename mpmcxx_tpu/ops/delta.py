@@ -87,10 +87,12 @@ def sf_apply(sf: SFCache, *shifts) -> SFCache:
     return SFCache(re, im)
 
 
-def rect_rd(state: SystemState, flags: FFlags, params: RunParams, rows):
+def rect_rd(state: SystemState, flags: FFlags, params: RunParams, rows,
+            pt=None):
     """RD energy restricted to pairs touching ``rows`` (plus full-system
     self/LRC-self sums, which cancel or difference correctly)."""
-    pt = build_pairs_rect(state, flags, rows)
+    if pt is None:
+        pt = build_pairs_rect(state, flags, rows)
     if flags.use_dreiding:
         return pair_potentials.dreiding(state, pt, flags, params)
     if flags.using_lj_buffered_14_7:
@@ -105,8 +107,9 @@ def rect_rd(state: SystemState, flags: FFlags, params: RunParams, rows):
 
 
 def rect_es_real(state: SystemState, flags: FFlags, params: RunParams,
-                 rows):
-    pt = build_pairs_rect(state, flags, rows)
+                 rows, pt=None):
+    if pt is None:
+        pt = build_pairs_rect(state, flags, rows)
     if flags.wolf:
         return ewald.coulombic_wolf(state, pt, flags, params)
     return ewald.coulombic_real(state, pt, flags, params)
@@ -116,22 +119,31 @@ class DeltaResult(NamedTuple):
     d_rd: jnp.ndarray
     d_coul: jnp.ndarray
     sf_new: SFCache
+    recip_new: jnp.ndarray   # k-space energy of the proposal (0 if unused)
 
 
 def delta_energy(old_state: SystemState, new_state: SystemState,
-                 rows, sf: SFCache, flags: FFlags, params: RunParams
-                 ) -> DeltaResult:
+                 rows, sf: SFCache, flags: FFlags, params: RunParams,
+                 recip_old=None) -> DeltaResult:
     """Energy difference new-old for a move that only changed the atoms in
-    ``rows`` (positions and/or their molecule's aliveness)."""
-    rd_old = rect_rd(old_state, flags, params, rows)
-    rd_new = rect_rd(new_state, flags, params, rows)
+    ``rows`` (positions and/or their molecule's aliveness).
+
+    ``recip_old``: the current state's k-space energy, if the caller
+    carries it (it only changes on accept, so recomputing it every step
+    is pure per-step latency — ~15% of a small-system NVT step).
+    """
+    # one rect pair build per state, shared by the RD and ES kernels
+    pt_old = build_pairs_rect(old_state, flags, rows)
+    pt_new = build_pairs_rect(new_state, flags, rows)
+    rd_old = rect_rd(old_state, flags, params, rows, pt_old)
+    rd_new = rect_rd(new_state, flags, params, rows, pt_new)
     d_rd = rd_new - rd_old
 
     if flags.use_sg or flags.rd_only:
-        return DeltaResult(d_rd, jnp.zeros(()), sf)
+        return DeltaResult(d_rd, jnp.zeros(()), sf, jnp.zeros(()))
 
-    er_old = rect_es_real(old_state, flags, params, rows)
-    er_new = rect_es_real(new_state, flags, params, rows)
+    er_old = rect_es_real(old_state, flags, params, rows, pt_old)
+    er_new = rect_es_real(new_state, flags, params, rows, pt_new)
     d_coul = er_new - er_old
 
     # self term differences are full-system O(A) sums (they change only
@@ -143,9 +155,12 @@ def delta_energy(old_state: SystemState, new_state: SystemState,
         sf_new = sf_apply(sf,
                           sf_shift(old_state, flags, rows, -1.0),
                           sf_shift(new_state, flags, rows, +1.0))
-        d_coul = d_coul + (recip_energy(sf_new, new_state, flags, params) -
-                           recip_energy(sf, old_state, flags, params))
+        e_old = recip_energy(sf, old_state, flags, params) \
+            if recip_old is None else recip_old
+        e_new = recip_energy(sf_new, new_state, flags, params)
+        d_coul = d_coul + (e_new - e_old)
     else:
         sf_new = sf
+        e_new = jnp.zeros(())
 
-    return DeltaResult(d_rd, d_coul, sf_new)
+    return DeltaResult(d_rd, d_coul, sf_new, e_new)

@@ -54,7 +54,8 @@ class TestGibbs:
             jnp.zeros((), jnp.int64), jnp.zeros(7, jnp.int64),
             jnp.zeros(7, jnp.int64),
             gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)),
-            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)))
+            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)),
+            jnp.zeros(()), jnp.zeros(()))
         step = gibbs_mod.make_gibbs_step(flags, params, opts)
         return carry, step
 
@@ -189,7 +190,13 @@ class TestGibbsIncremental:
             jax.random.PRNGKey(7), jnp.zeros((), jnp.int64),
             jnp.zeros(7, jnp.int64), jnp.zeros(7, jnp.int64),
             gibbs_mod.delta_mod.sf_compute(sa, flags, params),
-            gibbs_mod.delta_mod.sf_compute(sb, flags, params))
+            gibbs_mod.delta_mod.sf_compute(sb, flags, params),
+            gibbs_mod.delta_mod.recip_energy(
+                gibbs_mod.delta_mod.sf_compute(sa, flags, params), sa,
+                flags, params),
+            gibbs_mod.delta_mod.recip_energy(
+                gibbs_mod.delta_mod.sf_compute(sb, flags, params), sb,
+                flags, params))
         step = gibbs_mod.make_gibbs_step(flags, params, opts)
         carry, out = jax.lax.scan(step, carry, None, length=80)
         assert int(np.asarray(carry.accept).sum()) > 0
