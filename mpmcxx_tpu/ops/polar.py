@@ -640,7 +640,9 @@ def contract_mixed(coeffs, mu):
     co, cd, dx, dy, dz = coeffs
     if jax.default_backend() not in ("cpu",):
         from . import pallas_polar
-        if pallas_polar.supported(co.shape[0]):
+        # square planes only: row-sharded callers (parallel.sharded_energy)
+        # pass rectangular [A_local, A] slices, which take the XLA path
+        if co.shape[0] == co.shape[1] and pallas_polar.supported(co.shape[0]):
             return pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu)
     m = mu.astype(jnp.float32)
     mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]

@@ -60,14 +60,23 @@ def empty_cache() -> PolarCache:
                       z2, z2, jnp.zeros(0), jnp.zeros(0))
 
 
-def supports(flags: FFlags) -> bool:
+def supports(flags: FFlags, n_atom_slots: int = 0) -> bool:
     """True when polarization can ride the incremental cache (and the rest
-    of the energy is pairwise + k-space, as ops.delta requires)."""
-    return (flags.polarization and flags.polar_mixed and
-            not flags.polar_ewald_full and
-            not (flags.polarvdw or flags.using_axilrod_teller or
-                 flags.rd_crystal or flags.gwp or flags.spectre or
-                 flags.rd_anharmonic))
+    of the energy is pairwise + k-space, as ops.delta requires).
+
+    ``n_atom_slots``: when given, also require the five float32 [A,A]
+    planes to fit comfortably in one chip's HBM (~20 A^2 bytes; capped at
+    ~5.6 GB / 16k slots so a proposal + commit never approaches the v5e's
+    16 GB — a previous [B,A,3,3] OOM took the TPU worker down for half an
+    hour)."""
+    ok = (flags.polarization and flags.polar_mixed and
+          not flags.polar_ewald_full and
+          not (flags.polarvdw or flags.using_axilrod_teller or
+               flags.rd_crystal or flags.gwp or flags.spectre or
+               flags.rd_anharmonic))
+    if n_atom_slots and n_atom_slots > 16384:
+        return False
+    return ok
 
 
 def cache_init(state: SystemState, flags: FFlags, params: RunParams,

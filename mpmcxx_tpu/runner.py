@@ -90,7 +90,8 @@ class Simulation:
         max_mol_atoms = int(counts.max()) if len(counts) else 1
         flags0 = cfg.to_flags()
         from .ops import polar_cache as pcache_mod
-        polar_incremental = pcache_mod.supports(flags0)
+        polar_incremental = pcache_mod.supports(flags0,
+                                                self.state.n_atom_slots)
         incremental = delta_mod.supports(flags0) or polar_incremental
         blocked = self.state.n_atom_slots > 1024 and not (
             flags0.polarvdw or flags0.using_axilrod_teller or

@@ -1,0 +1,70 @@
+"""Mesh-sharded full energy must match the single-device blocked path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmcxx_tpu import FFlags, RunParams, constants as const
+from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+from mpmcxx_tpu.parallel import replicas as rep
+from mpmcxx_tpu.parallel.sharded_energy import sharded_breakdown
+from mpmcxx_tpu.state import AtomRecord, build_state
+
+
+def system(n_mol=40, L=24.0, polar=False, seed=5):
+    rng = np.random.default_rng(seed)
+    atoms = []
+    for m in range(n_mol):
+        base = rng.uniform(-L / 2, L / 2, 3)
+        for a in range(2):
+            off = rng.normal(0, 1.0, 3)
+            atoms.append(AtomRecord(
+                "X", "MOL", m + 1, x=base[0] + off[0], y=base[1] + off[1],
+                z=base[2] + off[2], mass=16.0,
+                charge=408.7816 * (0.15 if a % 2 else -0.15),
+                polarizability=0.4 if polar else 0.0,
+                epsilon=80.0, sigma=3.1))
+    return build_state(atoms, np.eye(3) * L)
+
+
+class TestShardedEnergy:
+    def test_lj_ewald_matches_blocked(self):
+        state, _ = system()
+        flags = FFlags()
+        params = RunParams(temperature=140.0, ewald_alpha=3.5 / 12.0)
+        mesh = rep.make_mesh(8)
+        a = energy_breakdown_blocked(state, flags, params, block=16)
+        b = jax.jit(lambda s: sharded_breakdown(s, flags, params, mesh,
+                                                block=16))(state)
+        assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-9)
+        assert float(b.coulombic) == pytest.approx(float(a.coulombic),
+                                                   abs=1e-9)
+
+    def test_polarizable_matches_blocked_mixed(self):
+        state, _ = system(polar=True)
+        flags = FFlags(polarization=True, polar_iterative=True,
+                       polar_ewald=True, polar_mixed=True,
+                       polar_max_iter=12)
+        params = RunParams(temperature=140.0, ewald_alpha=3.5 / 12.0,
+                           polar_ewald_alpha=3.5 / 12.0, polar_damp=2.1304,
+                           polar_gamma=1.0)
+        mesh = rep.make_mesh(8)
+        a = energy_breakdown_blocked(state, flags, params, block=16)
+        b = jax.jit(lambda s: sharded_breakdown(s, flags, params, mesh,
+                                                block=16))(state)
+        assert float(b.polarization) == pytest.approx(
+            float(a.polarization), rel=1e-6)
+        assert float(b.total) == pytest.approx(float(a.total), rel=1e-9)
+
+    def test_wolf_and_sg(self):
+        state, _ = system()
+        mesh = rep.make_mesh(8)
+        params = RunParams(temperature=140.0, ewald_alpha=0.3)
+        for fl in (FFlags(wolf=True), FFlags(use_sg=True)):
+            a = energy_breakdown_blocked(state, fl, params, block=16)
+            b = jax.jit(lambda s, fl=fl: sharded_breakdown(
+                s, fl, params, mesh, block=16))(state)
+            assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-9)
+            assert float(b.coulombic) == pytest.approx(float(a.coulombic),
+                                                       abs=1e-9)
