@@ -11,8 +11,7 @@ the reference's fail-on-bad-input behavior.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict
+from typing import Dict
 
 from .. import constants as const
 from .schema import SimConfig

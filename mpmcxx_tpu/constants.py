@@ -5,7 +5,6 @@ Energies are in Kelvin, distances in Angstroms, charge in sqrt(K*Angstrom)
 (reference: src/constants.h:12-56).
 """
 
-import math
 
 # --- physical constants (src/constants.h:13-23) ---
 pi = 3.141592653589793238462643383279502884
@@ -46,7 +45,12 @@ SqrtPi = 1.77245385091
 twoPi = 2.0 * pi
 
 MAX_ITERATION_COUNT = 128
-MAXVALUE = 1.0e40
+# The reference uses 1e40 (src/constants.h:53).  TPU "float64" is
+# double-word float32 emulation with float32's EXPONENT range (~1e38), so
+# 1e40 overflows to inf there and poisons the dense Thole A-matrix diagonal
+# (alpha=0 atoms) with NaNs.  1e30 serves the same effectively-infinite
+# sentinel role on every backend.
+MAXVALUE = 1.0e30
 SMALL_dR = 1.0e-12
 FEYNMAN_KLEINERT_TOLERANCE = 1.0e-12
 

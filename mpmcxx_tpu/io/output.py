@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Optional, TextIO
+from typing import TextIO
 
 from .. import constants as const
 from ..mc.averages import AvgObservables

@@ -263,7 +263,7 @@ def state_to_atoms_data(state, meta, wrapall: bool = True) -> dict:
     enumerate_particles (src/System.MonteCarlo.cpp:1117-1129).
     """
     import jax.numpy as jnp
-    from ..pbc import cart_to_frac, frac_to_cart
+    from ..pbc import frac_to_cart
 
     pos = np.asarray(state.pos)
     if wrapall:

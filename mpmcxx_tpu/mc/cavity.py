@@ -9,7 +9,6 @@ loops before every move).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -14,7 +14,6 @@ mirroring do_corrtime_bookkeeping (src/System.MonteCarlo.cpp:1902-2028).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax

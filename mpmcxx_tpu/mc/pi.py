@@ -71,14 +71,28 @@ def mol_coms(stack: SystemState):
 # estimators
 # ---------------------------------------------------------------------------
 
+# NOTE on units: the reference carries these chain lengths in SI (kg*m^2)
+# and multiplies by constants like pi^2 kB T / 2 hbar^2 ~ 1e44.  TPU
+# "float64" is double-word float32 emulation with float32's EXPONENT range
+# (~1e+-38), so both ends over/underflow there.  Device values therefore
+# stay in amu*Angstrom^2, and every SI conversion is folded into the
+# host-evaluated module constants below (exact f64 on the host).
+_C_KIN = 0.5 * const.kB * const.AMU2KG * 1e-20 / const.hBar2
+_C_CHAIN = (const.pi ** 2 * const.kB * const.AMU2KG * 1e-20 /
+            (2.0 * const.h * const.h))
+_C_ORIENT = const.pi ** 2 * const.kB * 1e-20 / (2.0 * const.h * const.h)
+_C_SIGMA = const.hBar2 * 1e20 / (const.kB * const.AMU2KG)
+_C_KH = (2.0 * const.pi ** 2 * const.kB * const.AMU2KG * 1e-20 /
+         (const.h * const.h))
+
+
 def chain_mass_length2_mol(stack: SystemState, mol):
     """Mass-weighted squared COM ring length of one molecule's bead chain,
-    in kg*m^2 (PI_chain_mass_length2, :916-970)."""
+    in amu*Angstrom^2 (PI_chain_mass_length2, :916-970)."""
     coms = mol_coms(stack)[:, mol, :]                   # [P,3]
     delta = coms - jnp.roll(coms, -1, axis=0)
     len2 = jnp.sum(delta * delta)
-    mass = stack.mol_mass[0, mol] * const.AMU2KG
-    return len2 * mass * const.ANGSTROM2METER ** 2
+    return len2 * stack.mol_mass[0, mol]
 
 
 def chain_mass_length2_system(stack: SystemState):
@@ -89,13 +103,11 @@ def chain_mass_length2_system(stack: SystemState):
     movable = stack.mol_alive[0] & ~(stack.mol_frozen[0] |
                                      stack.mol_adiabatic[0] |
                                      stack.mol_target[0])
-    mass = stack.mol_mass[0] * const.AMU2KG
-    return jnp.sum(jnp.where(movable, len2 * mass, 0.0)) * \
-        const.ANGSTROM2METER ** 2
+    return jnp.sum(jnp.where(movable, len2 * stack.mol_mass[0], 0.0))
 
 
 def orient_mu_length2_mol(stack: SystemState, mol, site_atom, bond_length):
-    """Squared ring length of the bond-orientation chain, in m^2
+    """Squared ring length of the bond-orientation chain, in Angstrom^2
     (PI_orientational_mu_length2, :978-1039).  No mass weight (reference
     quirk)."""
     coms = mol_coms(stack)[:, mol, :]                   # [P,3]
@@ -104,7 +116,7 @@ def orient_mu_length2_mol(stack: SystemState, mol, site_atom, bond_length):
     norm = jnp.linalg.norm(bond, axis=-1, keepdims=True)
     bond = bond_length * bond / jnp.where(norm == 0, 1.0, norm)
     delta = bond - jnp.roll(bond, -1, axis=0)
-    return jnp.sum(delta * delta) * const.ANGSTROM2METER ** 2
+    return jnp.sum(delta * delta)
 
 
 def pi_kinetic(stack: SystemState, temperature):
@@ -113,12 +125,9 @@ def pi_kinetic(stack: SystemState, temperature):
     P = stack.pos.shape[0]
     N = bead(stack, 0).count_N().astype(jnp.float64)
     T = temperature
-    beta = 1.0 / (const.kB * T)
-    omega2 = P / (beta * beta * const.hBar2)
-    cml2 = chain_mass_length2_system(stack)
-    term1 = 0.5 * 3.0 * N * const.kB * T * P
-    term2 = 0.5 * omega2 * cml2
-    return (term1 - term2) / const.kB
+    cml2 = chain_mass_length2_system(stack)        # amu*Angstrom^2
+    # (term1 - 0.5 * (P/(beta^2 hbar^2)) * cml2_SI) / kB, constants folded
+    return 1.5 * N * T * P - _C_KIN * P * T * T * cml2
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +169,6 @@ def coker_stage_coms(coms, key, n, starter, mass_amu, temperature, P):
     """Coker staging of a P-bead COM ring: perturb n beads starting after
     the rotating anchor; preserve the aggregate COM
     (PI_perturb_bead_COMs, :1453-1554)."""
-    beta = 1.0 / (const.kB * temperature)
-    mass = const.AMU2KG * mass_amu
     chain_com = jnp.mean(coms, axis=0)
 
     keys = jax.random.split(key, n)
@@ -174,8 +181,8 @@ def coker_stage_coms(coms, key, n, starter, mass_amu, temperature, P):
         tA = jnp.asarray(n + 1 - j, jnp.float64)
         init_f = tB / tA
         term_f = 1.0 - init_f
-        sigma = jnp.sqrt(const.hBar2 * beta * init_f / (P * mass)) * \
-            const.METER2ANGSTROM
+        sigma = jnp.sqrt(_C_SIGMA * init_f /
+                         (temperature * P * mass_amu))
         pert = jax.random.normal(keys[j], (3,))
         newpos = init_f * coms[prev_idx] + term_f * coms[final_idx] + \
             sigma * pert
@@ -206,13 +213,12 @@ def _orientation_schedule(P: int):
     return out
 
 
-def sample_orientations(key, P: int, bond_length_m, reduced_mass,
+def sample_orientations(key, P: int, bond_length_A, reduced_mass_amu,
                         temperature):
     """Generate P bead orientations by recursive bisection. Returns
     [P,3] unit vectors."""
     sched = _orientation_schedule(P)
-    b2 = bond_length_m * bond_length_m
-    ukT = reduced_mass * const.kB * temperature
+    b2 = bond_length_A * bond_length_A
 
     k0, key = jax.random.split(key)
     # initial random orientation: uniform on sphere
@@ -221,8 +227,8 @@ def sample_orientations(key, P: int, bond_length_m, reduced_mass,
     orients = jnp.zeros((P, 3)).at[0].set(v)
 
     keys = jax.random.split(key, len(sched))
-    lambda2 = const.h * const.h / (const.twoPi * ukT)
-    kh = const.pi * b2 / lambda2
+    # pi b^2 / lambda^2 with lambda^2 = h^2/(2 pi u kB T), folded to amu/A
+    kh = _C_KH * b2 * reduced_mass_amu * temperature
 
     for (start, J, K_idx, p), kk in zip(sched, keys):
         kC, kB = jax.random.split(kk)
@@ -278,7 +284,7 @@ class PerturbSpec(NamedTuple):
     has_orientation: bool
     site_offset: int       # atom offset within the molecule
     bond_length: float     # Angstrom
-    reduced_mass: float    # kg
+    reduced_mass: float    # amu (converted from the keyword's kg at setup)
 
 
 def pi_perturb_beads(stack: SystemState, key, mol, n_chain, starter,
@@ -291,8 +297,7 @@ def pi_perturb_beads(stack: SystemState, key, mol, n_chain, starter,
 
     if spec.has_orientation:
         orients = sample_orientations(
-            k_orient, P, spec.bond_length / const.METER2ANGSTROM,
-            spec.reduced_mass, temperature)
+            k_orient, P, spec.bond_length, spec.reduced_mass, temperature)
         site_atom = mol_atom_start + spec.site_offset
         sel = stack.mol_id[0] == mol
         coms = mol_coms(stack)[:, mol, :]
@@ -414,7 +419,6 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
 
         def chain_metrics(st):
             cml = chain_mass_length2_mol(st, target)
-            bond_m = bond_len / const.METER2ANGSTROM
             oml = orient_mu_length2_mol(st, target, site_atom, bond_len)
             oml = jnp.where(has_orient & (bond_len > 0), oml, 0.0)
             return cml, oml
@@ -439,7 +443,7 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
 
             def with_orient(pos):
                 orients = sample_orientations(
-                    k_orient, P_, bond_len / const.METER2ANGSTROM,
+                    k_orient, P_, bond_len,
                     jnp.maximum(red_mass, 1e-30), T)
                 coms = mol_coms(st)[:, target, :]
                 def orient_bead(p, c, site_p, tgt):
@@ -486,9 +490,11 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
         delta_chain = jnp.where(is_perturb, cml_trial - cml_init, 0.0)
         delta_orient = jnp.where(is_perturb, oml_trial - oml_init, 0.0)
 
-        # (PI_NVT_boltzmann_factor, :490-547)
-        PIchain_2_K = (P * const.pi * const.pi * const.kB * T) / \
-            (2.0 * const.h * const.h)
+        # (PI_NVT_boltzmann_factor, :490-547); SI constants folded into
+        # _C_CHAIN/_C_ORIENT so TPU f64-emulation stays in exponent range
+        chain_2K = P * T * _C_CHAIN      # multiplies amu*Angstrom^2
+        orient_2K = P * T * _C_ORIENT    # multiplies Angstrom^2 (massless
+                                         # orientation chain, quirk kept)
         pr = jnp.where(
             new_stack.nuclear_spin[0, target] == const.NUCLEAR_SPIN_PARA,
             stack.rot_partfunc_g[0, target] /
@@ -496,8 +502,8 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
             stack.rot_partfunc_u[0, target] /
             (stack.rot_partfunc_g[0, target] + stack.rot_partfunc_u[0, target]))
 
-        bf_perturb = jnp.exp(-delta_pot / T - delta_chain * PIchain_2_K -
-                             delta_orient * PIchain_2_K)
+        bf_perturb = jnp.exp(-delta_pot / T - delta_chain * chain_2K -
+                             delta_orient * orient_2K)
         bf_displace = jnp.exp(-delta_pot / T)
         bf = jnp.select(
             [movetype == const.MOVETYPE_PERTURB_BEADS,
@@ -614,7 +620,10 @@ class PISimulation:
                        t in cfg.sorbate_bond_length)
             site.append(cfg.sorbate_orientation_site.get(t, 0))
             blen.append(cfg.sorbate_bond_length.get(t, 0.0))
-            rmass.append(cfg.sorbate_reduced_mass.get(t, 0.0))
+            # keyword takes kg (sorbate_reducedMass, reference contract);
+            # device math runs in amu
+            rmass.append(cfg.sorbate_reduced_mass.get(t, 0.0) /
+                         const.AMU2KG)
         self.perturb_specs = PerturbSpec(
             has_orientation=jnp.asarray(has),
             site_offset=jnp.asarray(site, jnp.int32),

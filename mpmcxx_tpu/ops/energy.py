@@ -9,7 +9,6 @@ configuration compiles to exactly the kernels it needs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -19,7 +19,6 @@ the full masked recompute is one fused elementwise pass over [A,A] tiles.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

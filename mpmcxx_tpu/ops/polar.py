@@ -21,7 +21,6 @@ Energy = -1/2 sum mu . E_static (+ Palmo correction) in Kelvin.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax

@@ -13,7 +13,6 @@ e_iso cache, :255-307).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .. import constants as const

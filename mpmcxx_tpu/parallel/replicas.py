@@ -15,7 +15,6 @@ temperature-ladder permutation over the replica axis.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -27,7 +26,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..mc import chain as chain_mod
-from ..state import SystemState
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "replica") -> Mesh:

@@ -15,7 +15,6 @@ image is a pure batched function suitable for jit/vmap.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

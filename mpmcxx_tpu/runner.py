@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import Optional
 
 import jax
 import numpy as np
@@ -27,7 +26,7 @@ from .mc import chain as chain_mod
 from .mc.averages import AvgObservables, nodestats_from_counters
 from .mc.sorbate import SorbateTracker
 from .ops import delta as delta_mod
-from .state import SystemState, build_state
+from .state import build_state
 
 
 def _obs_to_dict(obs) -> dict:
