@@ -384,8 +384,13 @@ def pi_delta_potential(old_stack: SystemState, new_stack: SystemState,
 
 def make_pi_step(flags: FFlags, base_params: RunParams, opts,
                  perturb_specs, mol_atom_starts, trial_chain_len: int,
-                 incremental: bool = False, max_mol_atoms: int = 1):
-    """opts: MCOptions-like with bead_perturb_probability etc."""
+                 incremental: bool = False, max_mol_atoms: int = 1,
+                 any_orientation: bool = True):
+    """opts: MCOptions-like with bead_perturb_probability etc.
+
+    ``any_orientation``: static — when no species carries orientation
+    metadata, the bisection-staging graph is omitted entirely instead of
+    being traced into a dead jnp.where branch."""
 
     def step(carry: PICarry, _):
         key, k_move, k_tgt, k_apply, k_acc = jax.random.split(carry.key, 5)
@@ -419,6 +424,8 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
 
         def chain_metrics(st):
             cml = chain_mass_length2_mol(st, target)
+            if not any_orientation:
+                return cml, jnp.zeros(())
             oml = orient_mu_length2_mol(st, target, site_atom, bond_len)
             oml = jnp.where(has_orient & (bond_len > 0), oml, 0.0)
             return cml, oml
@@ -451,9 +458,10 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
                 return jax.vmap(orient_bead)(
                     pos, coms, pos[:, site_atom, :], orients)
 
-            pos = jnp.where(has_orient & (bond_len > 0) & (red_mass > 0),
-                            with_orient(pos), pos)
-            st = st.replace(pos=pos)
+            if any_orientation:
+                pos = jnp.where(has_orient & (bond_len > 0) &
+                                (red_mass > 0), with_orient(pos), pos)
+                st = st.replace(pos=pos)
 
             coms = mol_coms(st)[:, target, :]
             mass = st.mol_mass[0, target]
@@ -645,11 +653,14 @@ class PISimulation:
         max_mol = int(np.bincount(np.asarray(self.stack.mol_id[0]),
                                   minlength=M).max())
         self.max_mol_atoms = max_mol
+        any_orient = bool(np.asarray(
+            self.perturb_specs.has_orientation).any())
         step_fn = make_pi_step(self.flags, self.params, self.opts,
                                self.perturb_specs, self.mol_atom_starts,
                                cfg.PI_trial_chain_length,
                                incremental=self.incremental,
-                               max_mol_atoms=max_mol)
+                               max_mol_atoms=max_mol,
+                               any_orientation=any_orient)
 
         @jax.jit
         def run_chunk(carry, n_static=cfg.corrtime):
