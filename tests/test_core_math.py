@@ -262,3 +262,20 @@ class TestPolarVdw:
         assert e6 < 0 and e8 < 0
         # r^-6 scaling
         assert e6 / e8 == pytest.approx((8.0 / 6.0) ** 6, rel=0.05)
+
+
+class TestTpuRangeInvariants:
+    """TPU 'f64' is double-word f32 emulation with f32's exponent range:
+    every device-side constant must stay within ~1e+-30 (CPU tests cannot
+    catch the overflow itself, so pin the magnitudes)."""
+
+    def test_maxvalue_within_tpu_f64_range(self):
+        from mpmcxx_tpu import constants as const
+        assert 1e20 <= const.MAXVALUE < 1e38
+
+    def test_pi_folded_constants_in_range(self):
+        from mpmcxx_tpu.mc import pi
+        for name in ("_C_KIN", "_C_CHAIN", "_C_ORIENT", "_C_SIGMA",
+                     "_C_KH"):
+            v = abs(getattr(pi, name))
+            assert 1e-30 < v < 1e30, (name, v)

@@ -68,3 +68,20 @@ class TestShardedEnergy:
             assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-9)
             assert float(b.coulombic) == pytest.approx(float(a.coulombic),
                                                        abs=1e-9)
+
+    def test_polar_wolf_sharded(self):
+        state, _ = system(polar=True)
+        flags = FFlags(polarization=True, polar_iterative=True,
+                       polar_wolf=True, polar_mixed=True, wolf=True,
+                       polar_max_iter=10)
+        params = RunParams(temperature=140.0, ewald_alpha=0.25,
+                           polar_wolf_alpha=0.2, polar_damp=2.1304,
+                           polar_gamma=1.0)
+        mesh = rep.make_mesh(8)
+        a = energy_breakdown_blocked(state, flags, params, block=16)
+        b = jax.jit(lambda s: sharded_breakdown(s, flags, params, mesh,
+                                                block=16))(state)
+        assert float(b.polarization) == pytest.approx(
+            float(a.polarization), rel=1e-6)
+        assert float(b.coulombic) == pytest.approx(float(a.coulombic),
+                                                   abs=1e-9)
