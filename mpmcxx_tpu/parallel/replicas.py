@@ -110,10 +110,3 @@ def tempering_swap(temperatures, energies, key, parity: int):
     swap_from_left = jnp.roll(do_swap, 1) & (idx > 0)
     perm = jnp.where(swap_from_left, idx - 1, perm)
     return temperatures[perm], do_swap
-
-
-def aggregate_observables(obs_batched) -> dict:
-    """Average per-replica observables into root statistics — the vmapped
-    replacement for the per-corrtime MPI_Gather + per-rank unpack
-    (src/System.MonteCarlo.cpp:1954-2028)."""
-    return jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), obs_batched)

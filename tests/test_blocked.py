@@ -41,6 +41,7 @@ def test_blocked_lj_ewald_matches_dense(block):
     assert float(b.coulombic) == pytest.approx(float(a.coulombic), abs=1e-8)
 
 
+@pytest.mark.slow
 def test_blocked_polar_iterative_matches_dense():
     state, _ = random_system(n=48, polar=True)
     flags = FFlags(polarization=True, polar_iterative=True, polar_ewald=True,
@@ -78,6 +79,7 @@ def test_blocked_wolf_and_sg():
                                                    abs=1e-8)
 
 
+@pytest.mark.slow
 def test_mixed_precision_polar_matches_f64():
     """polar_mixed (f32 precomputed SCF coefficients) must agree with the
     f64 blocked path to well under thermal resolution (~1e-5 relative)."""

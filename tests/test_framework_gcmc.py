@@ -43,6 +43,7 @@ def framework_system(L=16.0, n_sorbate=4, extra=24):
 
 
 class TestFrameworkGCMC:
+    @pytest.mark.slow
     def test_frozen_atoms_never_move_and_counts_exclude_them(self):
         state, meta = framework_system()
         assert int(state.count_N()) == 4  # frozen molecule not counted
@@ -81,6 +82,7 @@ class TestFrameworkGCMC:
         assert float(eb.rd) == 0.0
         assert float(eb.coulombic) == 0.0
 
+    @pytest.mark.slow
     def test_sorption_equilibrium_is_bound(self):
         # GCMC against the framework: occupancy fluctuates, the sorbed
         # phase is net-bound (mean potential < 0), and observables stay
@@ -110,6 +112,7 @@ class TestFrameworkGCMC:
             np.asarray(state.pos)[frozen_sel])
 
 
+@pytest.mark.slow
 class TestCLIGCMC:
     def test_co2_fugacity_gcmc_run(self, tmp_path, monkeypatch):
         """End-to-end CLI GCMC with an EoS fugacity (CO2 Peng-Robinson)."""
@@ -150,6 +153,7 @@ basis3 0 0 16
         assert 0 < f_used < 10.0
 
 
+@pytest.mark.slow
 class TestCLIPolarizableGCMC:
     def test_polar_mixed_incremental_cli_run(self, tmp_path, monkeypatch):
         """Full driver path for the flagship workload shape: polarizable

@@ -59,6 +59,7 @@ class TestGibbs:
         step = gibbs_mod.make_gibbs_step(flags, params, opts)
         return carry, step
 
+    @pytest.mark.slow
     def test_transfer_conserves_total_n(self):
         opts = gibbs_mod.GibbsOptions(move_factor=0.1,
                                       transfer_probability=0.7, numsteps=80)
@@ -70,6 +71,7 @@ class TestGibbs:
         acc = np.asarray(carry.accept)
         assert acc.sum() > 0
 
+    @pytest.mark.slow
     def test_volume_exchange_conserves_total_v(self):
         opts = gibbs_mod.GibbsOptions(move_factor=0.05,
                                       volume_probability=0.6,
@@ -115,8 +117,9 @@ class TestReplicas:
         carry_r = rep.replicate_carry(carry, 4, base_seed=1)
         runner = rep.make_replica_runner(flags, params, opts, 10, mesh=mesh)
         carry_r, _ = runner(carry_r)
-        agg = rep.aggregate_observables(carry_r.obs)
-        assert np.isfinite(float(agg.energy))
+        energies = np.asarray(carry_r.obs.energy)
+        assert energies.shape == (4,)
+        assert np.all(np.isfinite(energies))
 
 
 class TestTempering:
@@ -148,6 +151,7 @@ class TestTempering:
             temps = new_t
 
 
+@pytest.mark.slow
 class TestGibbsIncremental:
     def test_incremental_tracks_full_recompute(self):
         """Delta-E Gibbs (displace + transfer + coupled volume fallback)

@@ -67,6 +67,7 @@ class TestMoves:
 
 
 class TestNVTChain:
+    @pytest.mark.slow
     def test_short_chain_runs_and_accepts(self):
         state, _ = argon_state(8)
         flags = FFlags()
@@ -82,6 +83,7 @@ class TestNVTChain:
         assert n_acc + n_rej == 50
         assert n_acc > 0
 
+    @pytest.mark.slow
     def test_uvt_changes_n(self):
         state, _ = argon_state(6, extra=12)
         flags = FFlags()
@@ -185,6 +187,7 @@ class TestPI:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_pi000_sample_runs(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         import shutil
@@ -282,6 +285,7 @@ class TestNativeCodec:
 
 
 class TestPIFrames:
+    @pytest.mark.slow
     def test_xyz_frames_written(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         import shutil

@@ -57,6 +57,7 @@ def rows_of(state, mol, max_atoms):
     return jnp.where(off < natoms[mol], r, -1)
 
 
+@pytest.mark.slow
 class TestCacheConsistency:
     def test_cache_move_matches_rebuild_through_move_sequence(self):
         state, _ = polar_system()
@@ -121,6 +122,7 @@ class TestCacheConsistency:
                                                   rel=1e-6)
 
 
+@pytest.mark.slow
 class TestChainPolarIncremental:
     def test_uvt_chain_tracks_full_recompute(self):
         state, _ = polar_system()
@@ -160,6 +162,7 @@ class TestChainPolarIncremental:
                                       np.asarray(carry.pcache.co))
 
 
+@pytest.mark.slow
 class TestWarmStart:
     def test_warm_start_same_fixed_point_fewer_iterations(self):
         state, _ = polar_system()
@@ -187,6 +190,7 @@ class TestWarmStart:
         assert float(a.polarization) == float(b.polarization)
 
 
+@pytest.mark.slow
 class TestReplicaPolarIncremental:
     def test_replica_sharded_chains_with_polar_cache(self):
         """Polarizable incremental chains must vmap + shard over the
@@ -215,6 +219,7 @@ class TestReplicaPolarIncremental:
                                                    rel=2e-6)
 
 
+@pytest.mark.slow
 class TestProposalContraction:
     def test_proposal_matches_materialized_cache(self):
         """polar_proposal (read-only corrections) must agree with solving
@@ -248,6 +253,7 @@ class TestProposalContraction:
         compare(state, new, rows_s)
 
 
+@pytest.mark.slow
 class TestChainPolarNPT:
     def test_npt_volume_moves_rebuild_cache(self):
         state, _ = polar_system(n_mol=10)

@@ -41,6 +41,7 @@ class TestShardedEnergy:
         assert float(b.coulombic) == pytest.approx(float(a.coulombic),
                                                    abs=1e-9)
 
+    @pytest.mark.slow
     def test_polarizable_matches_blocked_mixed(self):
         state, _ = system(polar=True)
         flags = FFlags(polarization=True, polar_iterative=True,
@@ -69,6 +70,7 @@ class TestShardedEnergy:
             assert float(b.coulombic) == pytest.approx(float(a.coulombic),
                                                        abs=1e-9)
 
+    @pytest.mark.slow
     def test_polar_wolf_sharded(self):
         state, _ = system(polar=True)
         flags = FFlags(polarization=True, polar_iterative=True,

@@ -14,6 +14,8 @@ from mpmcxx_tpu import FFlags, RunParams, constants as const
 from mpmcxx_tpu.mc import chain as chain_mod
 from mpmcxx_tpu.state import AtomRecord, build_state
 
+pytestmark = pytest.mark.slow
+
 
 def ideal_atoms(n, L, capacity_extra):
     atoms = [AtomRecord("Id", "IDL", m + 1,
