@@ -21,13 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from .. import constants as const
 from ..config.schema import SimConfig
+from ..io import histogram as hist_io
 from ..io import output as out_io
 from ..io import pqr as pqr_io
 from ..mc import chain as chain_mod
 from ..mc.averages import AvgObservables, nodestats_from_counters
 from ..runner import Simulation, _obs_to_dict
+from ..state import build_state
 from . import replicas as rep
 
 
@@ -46,8 +50,7 @@ class ReplicaSimulation:
             if len(jax.devices()) > 1 else None)
 
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
-        self.carry = rep.replicate_carry(self.base.carry, n_replicas,
-                                         base_seed=seed)
+        self.carry = self._init_carries(n_replicas, seed)
 
         self.tempering = cfg.parallel_tempering
         if self.tempering:
@@ -74,12 +77,89 @@ class ReplicaSimulation:
         self._swap_key = jax.random.PRNGKey(seed + 7919)
         self._parity = 0
 
+        # cross-replica population histogram + multi-sorbate roll-up: the
+        # replica-axis role of the reference's per-corrtime MPI gather
+        # (System.MPI.cpp:9-43 pack/unpack; update_root_histogram /
+        # update_root_sorb_averages, System.MonteCarlo.cpp:1954-2028)
+        self.hist = None
+        if cfg.calc_hist:
+            self.hist = hist_io.PopulationHistogram(
+                np.asarray(self.base.state.pbc.basis), cfg.hist_resolution)
+        self.sorbates = self.base.sorbates
+
+    def _restart_path(self, r: int) -> str:
+        """Per-replica resume search: restart-000r.pqr -> .last -> input
+        (SimulationControl.cpp:2298-2355)."""
+        cfg = self.cfg
+        base = cfg.pqr_restart if cfg.pqr_restart not in ("", "/dev/null") \
+            else cfg.job_name + ".restart.pqr"
+        cand = pqr_io.make_filename(base, r)
+        if os.path.exists(cand):
+            return cand
+        if os.path.exists(cand + ".last"):
+            return cand + ".last"
+        return cfg.pqr_input
+
+    def _init_carries(self, R: int, seed: int):
+        """Per-replica initial carries: resume each replica from its own
+        restart file when one exists (the reference's parallel_restarts
+        role for MPI ranks), else broadcast the shared input state."""
+        cfg = self.cfg
+        paths = [self._restart_path(r) for r in range(R)]
+        if all(p == cfg.pqr_input for p in paths):
+            return rep.replicate_carry(self.base.carry, R, base_seed=seed)
+
+        atom_lists = {}
+        for p in set(paths):
+            atom_lists[p] = pqr_io.read_pqr(
+                p, scale_charge=cfg.scale_charge,
+                cdvdw_sig_repulsion=cfg.cdvdw_sig_repulsion,
+                polarvdw=cfg.polarvdw,
+                cdvdw_exp_repulsion=cfg.cdvdw_exp_repulsion)
+
+        # one common molecule-slot capacity so the replica axis stacks
+        basis = np.asarray(self.base.state.pbc.basis)
+        n_mols = {p: len({a.molecule_id for a in atoms})
+                  for p, atoms in atom_lists.items()}
+        target = max(self.base.state.n_mol_slots,
+                     max(n_mols.values()) + 32)
+
+        carries = []
+        states = {}
+        for r, p in enumerate(paths):
+            if p not in states:
+                if p == cfg.pqr_input and \
+                        target == self.base.state.n_mol_slots:
+                    states[p] = self.base.state
+                else:
+                    states[p], _ = build_state(
+                        atom_lists[p], basis,
+                        extra_mol_capacity=target - n_mols[p],
+                        species_names=list(self.base.meta["species"]))
+            st = states[p]
+            s0 = states[paths[0]]
+            if st.n_atom_slots != s0.n_atom_slots or \
+                    st.n_mol_slots != s0.n_mol_slots:
+                raise ValueError(
+                    f"replica {r} restart {p} does not stack with replica "
+                    f"0 ({st.n_atom_slots} vs {s0.n_atom_slots} atom slots)")
+            carries.append(chain_mod.init_carry(
+                st, self.base.flags, self.base.params, self.base.opts,
+                seed))
+        carry_r = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *carries)
+        keys = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.PRNGKey(seed), i))(jnp.arange(R))
+        return carry_r._replace(key=keys)
+
     def _corrtime_io(self, step: int, fp_energy):
         """Rank-0-style aggregation: average every replica's observables
         into the root statistics (coldest bath only under tempering)."""
         obs_b = self.carry.obs
         temps = np.asarray(self.carry.temperature)
         cold = int(np.argmin(temps))
+        if self.hist is not None:
+            self.hist.zero()
         for r in range(self.R):
             obs = {k: float(getattr(obs_b, k)[r])
                    for k in obs_b.__dataclass_fields__}
@@ -94,6 +174,31 @@ class ReplicaSimulation:
                     particle_mass=self.base._particle_mass(),
                     free_volume=self.cfg.free_volume,
                     pressure=self.cfg.pressure)
+                if self.hist is not None or self.sorbates is not None:
+                    st = jax.tree_util.tree_map(lambda x: x[r],
+                                                self.carry.state)
+                    if self.hist is not None:
+                        self.hist.accumulate(
+                            np.asarray(st.mol_com()),
+                            np.asarray(st.mol_frozen) |
+                            ~np.asarray(st.mol_alive))
+                    if self.sorbates is not None:
+                        fug = (self.cfg.fugacities[0] if self.cfg.fugacities
+                               else self.cfg.pressure)
+                        self.sorbates.update(
+                            np.asarray(st.mol_alive),
+                            volume=float(st.pbc.volume),
+                            frozen_mass=obs["frozen_mass"],
+                            total_mass=obs["total_mass"],
+                            free_volume=self.cfg.free_volume,
+                            pressure_or_fugacity=fug,
+                            temperature=self.cfg.temperature)
+        if self.hist is not None:
+            self.hist.update_root()
+            if self.cfg.histogram_output and \
+                    self.cfg.histogram_output != "/dev/null":
+                with open(self.cfg.histogram_output, "w") as f:
+                    self.hist.write_dx(f)
 
     def run(self) -> AvgObservables:
         cfg = self.cfg

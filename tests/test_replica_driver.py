@@ -1,0 +1,89 @@
+"""Replica-parallel driver parity: per-replica restart resume and the
+cross-replica corrtime aggregation (population histogram + energy rows),
+the roles of the reference's parallel_restarts search
+(src/SimulationControl.cpp:2298-2355) and per-corrtime MPI gather
+(src/System.MPI.cpp:9-43, src/System.MonteCarlo.cpp:1954-2028)."""
+
+import numpy as np
+import pytest
+
+from mpmcxx_tpu.config.parser import read_config
+from mpmcxx_tpu.parallel.driver import ReplicaSimulation
+
+
+def write_inputs(d, numsteps=12, corrtime=6, hist=True):
+    rng = np.random.default_rng(5)
+    with open(d / "box.pqr", "w") as f:
+        for m in range(6):
+            x, y, z = rng.uniform(-7, 7, 3)
+            f.write(f"ATOM  {m + 1:5d} Ar   Ar  M {m + 1:4d}   "
+                    f"{x:8.3f}{y:8.3f}{z:8.3f} 39.94800  0.00000  "
+                    f"0.00000 119.80000  3.40500  0.00000  0.00000\n")
+        f.write("END\n")
+    lines = f"""job_name rdrv
+ensemble uvt
+temperature 140.0
+pressure 8.0
+insert_probability 0.35
+numsteps {numsteps}
+corrtime {corrtime}
+seed 4
+move_factor 0.3
+pqr_input box.pqr
+pqr_restart rdrv.restart.pqr
+energy_output /dev/null
+long_output on
+basis1 18 0 0
+basis2 0 18 0
+basis3 0 0 18
+"""
+    if hist:
+        lines += "pop_histogram on\npop_histogram_output rdrv.hist.dx\n"
+    with open(d / "run.in", "w") as f:
+        f.write(lines)
+
+
+class TestReplicaDriver:
+    @pytest.mark.slow
+    def test_resume_and_merged_histogram(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        write_inputs(tmp_path)
+
+        cfg = read_config("run.in")
+        sim = ReplicaSimulation(cfg, 2, quiet=True)
+        sim.run()
+
+        # per-replica restart files were written
+        import os
+        assert os.path.exists("rdrv.restart-0000.pqr")
+        assert os.path.exists("rdrv.restart-0001.pqr")
+        # merged histogram DX exists and counts only live molecules
+        assert os.path.exists("rdrv.hist.dx")
+        txt = open("rdrv.hist.dx").read()
+        assert "gridconnections" in txt
+
+        n_end = np.asarray(sim.carry.obs.N).copy()
+        e_end = np.asarray(sim.carry.obs.energy).copy()
+
+        # a fresh driver in the same directory must resume each replica
+        # from its own restart file (not re-broadcast the input)
+        cfg2 = read_config("run.in")
+        sim2 = ReplicaSimulation(cfg2, 2, quiet=True)
+        n_res = np.asarray(sim2.carry.obs.N)
+        e_res = np.asarray(sim2.carry.obs.energy)
+        np.testing.assert_array_equal(n_res, n_end)
+        np.testing.assert_allclose(e_res, e_end, rtol=1e-3)
+
+    def test_restart_path_search_order(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        write_inputs(tmp_path, hist=False)
+        cfg = read_config("run.in")
+        sim = ReplicaSimulation(cfg, 2, quiet=True)
+        # nothing on disk -> both replicas fall back to the input file
+        assert sim._restart_path(0) == "box.pqr"
+        # a .last file is preferred over the input, plain over .last
+        open("rdrv.restart-0001.pqr.last", "w").write("")
+        assert sim._restart_path(1) == "rdrv.restart-0001.pqr.last"
+        open("rdrv.restart-0001.pqr", "w").write("")
+        assert sim._restart_path(1) == "rdrv.restart-0001.pqr"
+        assert sim._restart_path(0) == "box.pqr"
