@@ -48,6 +48,9 @@ def main(argv=None) -> int:
 
     from .config.parser import read_config
     cfg = read_config(args.input)
+    if not args.quiet:
+        print(f"SIM_CONTROL: running parameters found in: {args.input}")
+        print("SIM_CONTROL: Finished reading config file.")
     if args.P:
         cfg.total_trotter_number = args.P
 
@@ -67,6 +70,11 @@ def main(argv=None) -> int:
         from .runner import Simulation
         sim = Simulation(cfg, quiet=args.quiet)
 
+    if not args.quiet:
+        from .io.output import display_sim_control
+        n_sys = getattr(sim, "P", None) or \
+            (2 if cfg.ensemble == const.ENSEMBLE_NVT_GIBBS else 1)
+        display_sim_control(sim.cfg, n_systems=n_sys)
     sim.run()
     print("SIM_CONTROL: Simulation complete!")
     return 0
