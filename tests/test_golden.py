@@ -48,6 +48,17 @@ def build_from_fixture(fix):
     return state, flags, params
 
 
+# fixture component name -> EnergyBreakdown field
+COMPONENT = {
+    "rd": "rd",
+    "coulombic": "coulombic",
+    "polar": "polarization",
+    "vdw": "vdw",
+    "three_body": "three_body",
+    "kinetic": "kinetic",
+}
+
+
 @pytest.mark.parametrize(
     "path", FIXTURES, ids=[os.path.basename(p)[:-5] for p in FIXTURES])
 def test_golden(path):
@@ -56,11 +67,12 @@ def test_golden(path):
     state, flags, params = build_from_fixture(fix)
     eb = energy_breakdown(state, flags, params)
     exp = fix["expected"]
-    # energy.dat prints %f (6 decimals); allow one print quantum slack
+    # energy.dat prints %f (6 decimals); the direct oracle 10 — allow one
+    # PI print quantum of slack either way
     atol = 2e-6
-    assert float(eb.rd) == pytest.approx(exp["rd"], abs=atol), "rd"
-    assert float(eb.coulombic) == pytest.approx(exp["coulombic"], abs=atol), \
-        "coulombic"
-    assert float(eb.polarization) == pytest.approx(exp["polar"], abs=atol), \
-        "polar"
-    assert float(eb.vdw) == pytest.approx(exp["vdw"], abs=atol), "vdw"
+    compare = fix.get("compare", ["rd", "coulombic", "polar", "vdw"])
+    deltas = fix.get("known_delta", {})
+    for comp in compare:
+        ours = float(getattr(eb, COMPONENT[comp]))
+        want = exp[comp] + deltas.get(comp, 0.0)
+        assert ours == pytest.approx(want, abs=atol), comp

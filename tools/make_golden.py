@@ -190,6 +190,153 @@ CASES = {
 }
 
 
+# atoms for the GWP kernels: nonzero gwp_alpha activates wavepacket
+# coulomb + kinetic (src/System.Energy.cpp:1304-1390)
+GWP_ATOMS = [
+    ("Na", "SOD", 1, 0.60, 0.30, -0.20, 22.99, 1.0, 0.0, 50.0, 2.8,
+     0, 1.10, 0, 0, 0, 0),
+    ("Cl", "CHL", 2, 3.90, 1.00, 0.70, 35.45, -1.0, 0.0, 100.0, 3.4,
+     0, 0.85, 0, 0, 0, 0),
+    ("Ar", "ARG", 3, -2.60, 2.10, 1.40, 39.948, 0.0, 0.0, 119.8, 3.405,
+     0, 0, 0, 0, 0, 0),
+]
+
+# anharmonic bond spring (rd_only + rd_anharmonic, src/System.Energy.cpp:757)
+ANHARMONIC_ATOMS = [
+    ("Xx", "OSC", 1, 0.00, 0.00, 0.00, 10.0, 0.0, 0.0, 0.0, 0.0,
+     0, 0, 0, 0, 0, 0),
+    ("Xx", "OSC", 2, 1.35, 0.00, 0.00, 10.0, 0.0, 0.0, 0.0, 0.0,
+     0, 0, 0, 0, 0, 0),
+]
+
+# exp repulsion needs polarvdw (check_config) -> nonzero omega + alpha so
+# the coupled-dipole path doesn't hit the 0-byte calloc
+# (src/System.Energy.cpp:413); its vdw output is dead-dsyev garbage in the
+# reference, so the fixture compares rd only
+EXPREP_ATOMS = [
+    ("He", "HEL", 1, 0.70, 0.25, -0.35, 4.0026, 0.0, 0.2049, 2.96, 2.67,
+     0.4, 0, 0, 0, 0, 0),
+    ("He", "HEL", 2, 3.55, 0.95, 0.65, 4.0026, 0.0, 0.2049, 2.96, 2.67,
+     0.4, 0, 0, 0, 0, 0),
+]
+
+# oracle="direct": single-point via the linked driver (tools/ref_oracle.cpp)
+# instead of the pi_nvt trick — needed for components the PI aggregation
+# hides (three_body) or combinations PI refuses (feynman_hibbs, gwp)
+DIRECT_CASES = {
+    "axilrod_teller": dict(
+        atoms=AT_ATOMS, extra="axilrod_teller on\n",
+        compare=["rd", "three_body"]),
+    "axilrod_teller_mk": dict(
+        atoms=AT_ATOMS, extra="axilrod_teller on\nmidzuno_kihara_approx on\n",
+        compare=["rd", "three_body"]),
+    "lj_fh2": dict(atoms=MIXED_ATOMS,
+                   extra="feynman_hibbs on\nfeynman_hibbs_order 2\n",
+                   compare=["rd", "coulombic"]),
+    "lj_fh4": dict(atoms=MIXED_ATOMS,
+                   extra="feynman_hibbs on\nfeynman_hibbs_order 4\n",
+                   compare=["rd", "coulombic"]),
+    "anharmonic": dict(
+        atoms=ANHARMONIC_ATOMS,
+        extra="rd_only on\nrd_anharmonic on\nrd_anharmonic_k 600.0\n"
+              "rd_anharmonic_g 12.0\nrd_lrc off\n",
+        compare=["rd"]),
+    "gwp_coulomb_kinetic": dict(
+        atoms=GWP_ATOMS, extra="gwp on\nrd_lrc off\n",
+        compare=["rd", "coulombic", "kinetic"]),
+    "exp_repulsion": dict(
+        atoms=EXPREP_ATOMS,
+        extra="polarvdw on\ncdvdw_exp_repulsion on\nrd_lrc off\n"
+              "polar_precision 0.00000001\n",
+        compare=["rd"]),
+    # the k-weight fix deviates from the reference here by design (README
+    # Fidelity); the fixture records the reference value AND our measured
+    # delta so the deviation stays pinned
+    "polar_ewald_full": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative on\npolar_ewald_full on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"
+              "polar_gamma 1.0\npolar_precision 0.00000001\n",
+        compare=["rd", "coulombic", "polar"], record_delta=["polar"]),
+}
+
+ORACLE = os.path.join(REPO, ".refbuild", "ref_oracle")
+
+
+def build_oracle():
+    if os.path.exists(ORACLE):
+        return
+    import glob as _glob
+    objs = [o for o in _glob.glob(os.path.join(
+        REPO, ".refbuild", "CMakeFiles", "mpmcxx.dir", "src", "*.o"))
+        if not o.endswith("main.cpp.o")]
+    subprocess.run(
+        ["g++", "-O2", "-fopenmp", "-include", "ctime", "-include",
+         "cstring", "-I/root/reference/src",
+         os.path.join(REPO, "tools", "ref_oracle.cpp"), *objs,
+         "-o", ORACLE], check=True)
+
+
+def run_case_direct(name, spec):
+    build_oracle()
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "base.pqr"), "w") as f:
+            f.write(pqr_text(spec["atoms"]))
+        with open(os.path.join(d, "run.in"), "w") as f:
+            f.write(f"""job_name g
+ensemble nvt
+temperature 77.0
+numsteps 1
+corrtime 1
+seed 42
+pqr_input base.pqr
+basis1 {BASIS} 0.0 0.0
+basis2 0.0 {BASIS} 0.0
+basis3 0.0 0.0 {BASIS}
+{spec['extra']}""")
+        r = subprocess.run([ORACLE, "run.in"], cwd=d, capture_output=True,
+                           text=True, timeout=300)
+        if r.returncode != 0 or not r.stdout.strip():
+            print(f"FAILED {name}: rc={r.returncode}")
+            print((r.stdout + r.stderr)[-2000:])
+            return None
+        got = json.loads(r.stdout.strip().splitlines()[-1])
+        expected = {
+            "energy": got["energy"], "coulombic": got["coulombic"],
+            "rd": got["rd"], "polar": got["polar"], "vdw": got["vdw"],
+            "three_body": got["three_body"], "kinetic": got["kinetic"],
+        }
+        fix = {
+            "name": name,
+            "oracle": "direct",
+            "atoms": spec["atoms"],
+            "basis": BASIS,
+            "temperature": 77.0,
+            "config_extra": spec["extra"],
+            "compare": spec["compare"],
+            "expected": expected,
+        }
+        for comp in spec.get("record_delta", []):
+            fix.setdefault("known_delta", {})[comp] = \
+                _our_value(fix, comp) - expected[
+                    "polar" if comp == "polar" else comp]
+        return fix
+
+
+def _our_value(fix, comp):
+    """Compute our energy component for a fixture (CPU) — used to pin
+    documented deviations as regression constants."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, REPO)
+    from tests.test_golden import build_from_fixture, COMPONENT
+    from mpmcxx_tpu.ops.energy import energy_breakdown
+    state, flags, params = build_from_fixture(fix)
+    eb = energy_breakdown(state, flags, params)
+    return float(getattr(eb, COMPONENT[comp]))
+
+
 def pqr_text(atoms):
     lines = []
     for i, a in enumerate(atoms, 1):
@@ -257,9 +404,12 @@ basis3 0.0 0.0 {BASIS}
 
 
 def main():
-    wanted = sys.argv[1:] or list(CASES)
+    wanted = sys.argv[1:] or (list(CASES) + list(DIRECT_CASES))
     for name in wanted:
-        fix = run_case(name, CASES[name])
+        if name in CASES:
+            fix = run_case(name, CASES[name])
+        else:
+            fix = run_case_direct(name, DIRECT_CASES[name])
         if fix is None:
             continue
         path = os.path.join(OUT, name + ".json")
@@ -267,7 +417,11 @@ def main():
             json.dump(fix, f, indent=1)
         e = fix["expected"]
         print(f"{name}: rd={e['rd']} coul={e['coulombic']} "
-              f"polar={e['polar']} vdw={e['vdw']}")
+              f"polar={e['polar']} vdw={e['vdw']}"
+              + (f" tb={e['three_body']} kin={e['kinetic']}"
+                 if fix.get("oracle") == "direct" else "")
+              + (f" delta={fix['known_delta']}"
+                 if "known_delta" in fix else ""))
 
 
 if __name__ == "__main__":
