@@ -385,12 +385,25 @@ def pi_delta_potential(old_stack: SystemState, new_stack: SystemState,
 def make_pi_step(flags: FFlags, base_params: RunParams, opts,
                  perturb_specs, mol_atom_starts, trial_chain_len: int,
                  incremental: bool = False, max_mol_atoms: int = 1,
-                 any_orientation: bool = True):
+                 any_orientation: bool = True, mol_atom_counts=None):
     """opts: MCOptions-like with bead_perturb_probability etc.
 
     ``any_orientation``: static — when no species carries orientation
     metadata, the bisection-staging graph is omitted entirely instead of
-    being traced into a dead jnp.where branch."""
+    being traced into a dead jnp.where branch.
+
+    ``mol_atom_counts``: static per-molecule-slot atom counts; with it the
+    Delta-E row addressing is an O(S) gather from the static topology
+    (mc/chain.py's rows_of pattern) instead of an O(A) jnp.nonzero scan."""
+    if mol_atom_counts is not None:
+        mol_atom_counts = jnp.asarray(mol_atom_counts, jnp.int32)
+
+    def rows_of(mol):
+        off = jnp.arange(max_mol_atoms, dtype=jnp.int32)
+        if mol_atom_counts is None:
+            return None
+        rows = mol_atom_starts[mol].astype(jnp.int32) + off
+        return jnp.where(off < mol_atom_counts[mol], rows, -1)
 
     def step(carry: PICarry, _):
         key, k_move, k_tgt, k_apply, k_acc = jax.random.split(carry.key, 5)
@@ -478,8 +491,10 @@ def make_pi_step(flags: FFlags, base_params: RunParams, opts,
             [do_displace, do_spin, do_perturb], stack)
 
         if incremental:
-            rows = jnp.nonzero(stack.mol_id[0] == target,
-                               size=max_mol_atoms, fill_value=-1)[0]
+            rows = rows_of(target)
+            if rows is None:
+                rows = jnp.nonzero(stack.mol_id[0] == target,
+                                   size=max_mol_atoms, fill_value=-1)[0]
             comps_pb, sf_new, pot_trial = pi_delta_potential(
                 stack, new_stack, rows, carry.sf, carry.comps_per_bead,
                 flags, params)
@@ -650,8 +665,8 @@ class PISimulation:
         self.key = jax.random.PRNGKey(seed)
 
         self.incremental = delta_mod.supports(self.flags)
-        max_mol = int(np.bincount(np.asarray(self.stack.mol_id[0]),
-                                  minlength=M).max())
+        counts = np.bincount(np.asarray(self.stack.mol_id[0]), minlength=M)
+        max_mol = int(counts.max())
         self.max_mol_atoms = max_mol
         any_orient = bool(np.asarray(
             self.perturb_specs.has_orientation).any())
@@ -660,7 +675,8 @@ class PISimulation:
                                cfg.PI_trial_chain_length,
                                incremental=self.incremental,
                                max_mol_atoms=max_mol,
-                               any_orientation=any_orient)
+                               any_orientation=any_orient,
+                               mol_atom_counts=counts)
 
         @jax.jit
         def run_chunk(carry, n_static=cfg.corrtime):
