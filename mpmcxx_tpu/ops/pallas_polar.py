@@ -90,3 +90,131 @@ def contract_pallas(co, cd, dx, dy, dz, mu, interpret=False):
 
 def supported(A: int) -> bool:
     return A >= 256 and A % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# symmetric contraction: read each unordered tile pair once
+# ---------------------------------------------------------------------------
+
+def _pick_b_sym(A: int):
+    for b in (512, 256, 128):
+        if A % b == 0 and A // b >= 2:
+            return b
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
+    """-T mu reading (close to) only the upper triangle of the planes.
+
+    T is symmetric: T_ij = co d (x) d + cd I with d antisymmetric entering
+    quadratically, so the contraction can stream each unordered tile pair
+    once and emit both ef_i (+= T_ij mu_j, lane reduction) and ef_j
+    (+= T_ij^T mu_i, sublane reduction) — ~2x less HBM traffic than the
+    full-plane pass, and this op is HBM-bound.
+
+    Tile pairing uses the wrapped-column trick: square b x b tiles, row
+    tile i is paired with column tile (i+c) % nr for c = 0..nr//2; when nr
+    is even the c == nr/2 band is visited from both sides and weighted
+    0.5.  The transpose contributions land in a per-(c) scratch output
+    (no out-of-order output revisits) and are folded in afterwards with
+    nc2 block rolls.
+
+    Layout notes (this chip): mu is passed three ways to avoid in-kernel
+    transposes (they miscompile — see CLAUDE.md): lanes-major [8,A] for
+    the column block, and sublane-major [A,128] for the row block.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A = co.shape[0]
+    b = _pick_b_sym(A)
+    nr = A // b
+    nc2 = nr // 2 + 1
+    even = (nr % 2 == 0)
+    grid = (nr, nc2)
+
+    m = mu.astype(jnp.float32)
+    m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m.T)     # lanes-major
+    mT = jnp.zeros((A, 128), jnp.float32).at[:, :3].set(m)  # sublane-major
+
+    def kernel(mu_col_ref, mu_rowT_ref, co_ref, cd_ref, dx_ref, dy_ref,
+               dz_ref, out_row_ref, out_col_ref):
+        c = pl.program_id(1)
+        w = jnp.float32(1.0)
+        if even:
+            w = jnp.where(c == nr // 2, jnp.float32(0.5), jnp.float32(1.0))
+
+        mxj = mu_col_ref[0:1, :]       # [1,b] mu of column atoms
+        myj = mu_col_ref[1:2, :]
+        mzj = mu_col_ref[2:3, :]
+        dxv = dx_ref[:]
+        dyv = dy_ref[:]
+        dzv = dz_ref[:]
+        cov = co_ref[:]
+        cdv = cd_ref[:]
+
+        # ef_i += T_ij mu_j  (reduce over lanes)
+        s = cov * (dxv * mxj + dyv * myj + dzv * mzj)
+        ex = jnp.sum(s * dxv + cdv * mxj, axis=1, keepdims=True) * w
+        ey = jnp.sum(s * dyv + cdv * myj, axis=1, keepdims=True) * w
+        ez = jnp.sum(s * dzv + cdv * mzj, axis=1, keepdims=True) * w
+        lane = jax.lax.broadcasted_iota(jnp.int32, out_row_ref.shape, 1)
+        val = jnp.where(lane == 0, jnp.broadcast_to(ex, out_row_ref.shape),
+                        jnp.where(lane == 1,
+                                  jnp.broadcast_to(ey, out_row_ref.shape),
+                                  jnp.where(lane == 2,
+                                            jnp.broadcast_to(
+                                                ez, out_row_ref.shape),
+                                            jnp.float32(0.0))))
+        prev = jnp.where(c == 0, jnp.zeros_like(out_row_ref), out_row_ref[:])
+        out_row_ref[:] = prev + val
+
+        # ef_j += T_ij^T mu_i  (reduce over sublanes); skip the diagonal
+        # band c == 0 — the full diagonal tile was already counted above
+        mxi = mu_rowT_ref[:, 0:1]      # [b,1] mu of row atoms
+        myi = mu_rowT_ref[:, 1:2]
+        mzi = mu_rowT_ref[:, 2:3]
+        wc = jnp.where(c == 0, jnp.float32(0.0), w)
+        s2 = cov * (dxv * mxi + dyv * myi + dzv * mzi)
+        gx = jnp.sum(s2 * dxv + cdv * mxi, axis=0, keepdims=True) * wc
+        gy = jnp.sum(s2 * dyv + cdv * myi, axis=0, keepdims=True) * wc
+        gz = jnp.sum(s2 * dzv + cdv * mzi, axis=0, keepdims=True) * wc
+        sub = jax.lax.broadcasted_iota(jnp.int32, out_col_ref.shape, 1)
+        cval = jnp.where(sub == 0, jnp.broadcast_to(gx, out_col_ref.shape),
+                         jnp.where(sub == 1,
+                                   jnp.broadcast_to(gy, out_col_ref.shape),
+                                   jnp.where(sub == 2,
+                                             jnp.broadcast_to(
+                                                 gz, out_col_ref.shape),
+                                             jnp.float32(0.0))))
+        out_col_ref[:] = cval
+
+    plane = pl.BlockSpec((b, b), lambda i, c: (i, (i + c) % nr),
+                         memory_space=pltpu.VMEM)
+    out_row, out_col = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((A, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nc2, 8, A), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, b), lambda i, c: (i * 0, (i + c) % nr),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 128), lambda i, c: (i, c * 0),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane, plane,
+        ],
+        out_specs=(pl.BlockSpec((b, 128), lambda i, c: (i, c * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, b), lambda i, c: (c, i * 0, i),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(m8, mT, co, cd, dx, dy, dz)
+
+    # fold the transpose contributions: plane c's source block i targets
+    # column block (i+c) % nr -> roll right by c*b and sum over c
+    shifts = jnp.arange(nc2) * b
+    rolled = jax.vmap(lambda p, s: jnp.roll(p, s, axis=-1))(out_col, shifts)
+    ef_col = jnp.sum(rolled, axis=0)                       # [8, A]
+    total = out_row[:, :3] + ef_col[:3, :].T
+    return -total.astype(jnp.float64)

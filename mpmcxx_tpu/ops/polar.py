@@ -642,6 +642,13 @@ def contract_mixed(coeffs, mu):
         # square planes only: row-sharded callers (parallel.sharded_energy)
         # pass rectangular [A_local, A] slices, which take the XLA path
         if co.shape[0] == co.shape[1] and pallas_polar.supported(co.shape[0]):
+            import os
+            # T is symmetric: the triangle kernel reads ~half the bytes
+            # (this op is HBM-bound); MPMCXX_SYM_KERNEL=0 falls back
+            if pallas_polar._pick_b_sym(co.shape[0]) and \
+                    os.environ.get("MPMCXX_SYM_KERNEL", "1") != "0":
+                return pallas_polar.contract_pallas_sym(co, cd, dx, dy, dz,
+                                                        mu)
             return pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu)
     m = mu.astype(jnp.float32)
     mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]

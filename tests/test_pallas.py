@@ -75,3 +75,35 @@ class TestContractKernel:
                            jnp.sum(s * dz + cd * mz, 1)], 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-5)
+
+    def test_sym_contract_matches_xla_planes(self):
+        """Triangle kernel: exact vs the XLA contraction for even and odd
+        tile counts (wrapped-column pairing + 0.5-weight band)."""
+        from mpmcxx_tpu.ops import pallas_polar
+        rng = np.random.default_rng(5)
+
+        def sym(mat):
+            return jnp.asarray((mat + mat.T) / 2, jnp.float32)
+
+        def antisym(mat):
+            return jnp.asarray((mat - mat.T) / 2, jnp.float32)
+
+        for A in (256, 640):   # nr even (2) and odd (5) at b=128
+            b = pallas_polar._pick_b_sym(A)
+            assert b and A % b == 0
+            co = sym(rng.normal(size=(A, A)) * 0.01)
+            cd = sym(rng.normal(size=(A, A)) * 0.02)
+            dx = antisym(rng.normal(size=(A, A)))
+            dy = antisym(rng.normal(size=(A, A)))
+            dz = antisym(rng.normal(size=(A, A)))
+            mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
+            got = pallas_polar.contract_pallas_sym(co, cd, dx, dy, dz, mu,
+                                                   interpret=True)
+            m = mu.astype(jnp.float32)
+            mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
+            s = co * (dx * mx + dy * my + dz * mz)
+            want = -jnp.stack([jnp.sum(s * dx + cd * mx, 1),
+                               jnp.sum(s * dy + cd * my, 1),
+                               jnp.sum(s * dz + cd * mz, 1)], 1)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-6)
