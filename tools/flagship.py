@@ -1,0 +1,134 @@
+"""The flagship benchmark workload: 10,240-atom polarizable GCMC.
+
+One deterministic system shared by ``bench.py`` (our TPU rate) and
+``tools/measure_baseline.py`` (the reference binary's CPU rate on the
+identical configuration): a rigid charged framework (4,096 frozen atoms,
+one molecule) plus 6,144 mobile monatomic polarizable sorbates in an
+80 A cubic box — the workload shape of the reference's production runs
+(uVT gas sorption in a MOF with a Thole dipole solve; BASELINE.json).
+
+All parameters here are the single source of truth for the bench config
+on both sides (Ewald alpha, Thole damping, SCF iteration count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+L = 80.0
+G_FRAME = 8                  # framework grid -> 512 frozen atoms
+N_SORB = 9728                # mobile single-atom polarizable sorbates
+N_TOTAL = G_FRAME ** 3 + N_SORB   # 10,240
+
+TEMPERATURE = 150.0
+FUGACITY = 1.0               # atm
+INSERT_PROB = 0.2
+EWALD_ALPHA = 3.5 / (L / 2.0)
+POLAR_DAMP = 2.1304          # exponential Thole damping
+POLAR_MAX_ITER = 4
+MOVE_FACTOR = 0.5
+
+FRAME_CHARGE_E = 0.30        # |e|, alternating sign
+FRAME_EPS, FRAME_SIG, FRAME_ALPHA, FRAME_MASS = 40.0, 2.6, 1.0, 50.0
+SORB_EPS, SORB_SIG, SORB_ALPHA, SORB_MASS = 119.8, 3.405, 1.64, 39.948
+
+
+def flagship_atoms(seed: int = 3):
+    """Return (framework, sorbates): lists of dicts with positions in A
+    and charges in |e| (multiply by E2REDUCED for engine units)."""
+    rng = np.random.default_rng(seed)
+    s = L / G_FRAME
+    framework = []
+    for i in range(G_FRAME):
+        for j in range(G_FRAME):
+            for k in range(G_FRAME):
+                q = FRAME_CHARGE_E if (i + j + k) % 2 == 0 else -FRAME_CHARGE_E
+                framework.append(dict(
+                    x=(i + .5) * s - L / 2, y=(j + .5) * s - L / 2,
+                    z=(k + .5) * s - L / 2, q=q))
+
+    # sorbate sites: a finer 23^3 grid (3.48 A pitch), keep sites >= 3.0 A
+    # (min-image) from every framework atom, take N_SORB with even stride,
+    # jitter to break lattice symmetry
+    gs = 23
+    ss = L / gs
+    pts = np.stack(np.meshgrid(*[np.arange(gs)] * 3, indexing="ij"),
+                   axis=-1).reshape(-1, 3) * ss + ss / 2 - L / 2
+    fpos = np.asarray([[a["x"], a["y"], a["z"]] for a in framework])
+    d = pts[:, None, :] - fpos[None, :, :]
+    d -= L * np.round(d / L)
+    keep = np.sqrt((d * d).sum(-1)).min(axis=1) >= 3.0
+    sites = pts[keep]
+    if len(sites) < N_SORB:
+        raise RuntimeError(f"only {len(sites)} sorbate sites survive")
+    idx = np.linspace(0, len(sites) - 1, N_SORB).round().astype(int)
+    sites = sites[idx] + rng.uniform(-0.4, 0.4, (N_SORB, 3))
+    sorbates = [dict(x=p[0], y=p[1], z=p[2], q=0.0) for p in sites]
+    return framework, sorbates
+
+
+def build_state(extra_mol_capacity: int = 128):
+    """Our side: SystemState + (flags, params, opts) for the bench chain."""
+    from mpmcxx_tpu import FFlags, RunParams, constants as const
+    from mpmcxx_tpu.mc import chain as chain_mod
+    from mpmcxx_tpu.state import AtomRecord, build_state as _build
+
+    framework, sorbates = flagship_atoms()
+    atoms = []
+    for a in framework:
+        atoms.append(AtomRecord(
+            "Fw", "MOF", 1, frozen=True, x=a["x"], y=a["y"], z=a["z"],
+            mass=FRAME_MASS, charge=a["q"] * const.E2REDUCED,
+            epsilon=FRAME_EPS, sigma=FRAME_SIG, polarizability=FRAME_ALPHA))
+    for m, a in enumerate(sorbates):
+        atoms.append(AtomRecord(
+            "Ar", "ARG", 100 + m, x=a["x"], y=a["y"], z=a["z"],
+            mass=SORB_MASS, charge=0.0, epsilon=SORB_EPS, sigma=SORB_SIG,
+            polarizability=SORB_ALPHA))
+    state, meta = _build(atoms, np.eye(3) * L,
+                         extra_mol_capacity=extra_mol_capacity)
+
+    flags = FFlags(polarization=True, polar_iterative=True, polar_ewald=True,
+                   polar_mixed=True, polar_max_iter=POLAR_MAX_ITER,
+                   damp_type=const.DAMPING_EXPONENTIAL)
+    params = RunParams(temperature=TEMPERATURE, ewald_alpha=EWALD_ALPHA,
+                       polar_ewald_alpha=EWALD_ALPHA, polar_damp=POLAR_DAMP,
+                       polar_gamma=1.0)
+    opts = chain_mod.MCOptions(
+        ensemble=const.ENSEMBLE_UVT, move_factor=MOVE_FACTOR,
+        insert_probability=INSERT_PROB, fugacity=FUGACITY,
+        incremental=True, polar_incremental=True, max_mol_atoms=1,
+        blocked_energy=True)
+    return state, meta, flags, params, opts
+
+
+def topology(state):
+    mol_id = np.asarray(state.mol_id)
+    starts = np.zeros(state.n_mol_slots, dtype=np.int32)
+    counts = np.zeros(state.n_mol_slots, dtype=np.int32)
+    for mm in range(state.n_mol_slots):
+        w = np.nonzero(mol_id == mm)[0]
+        starts[mm] = w[0] if len(w) else 0
+        counts[mm] = len(w)
+    return starts, counts
+
+
+def write_pqr(path: str):
+    """Reference side: same configuration as a 20-token PQR (charges in e,
+    token 5 = F freezes the framework molecule)."""
+    framework, sorbates = flagship_atoms()
+    with open(path, "w") as f:
+        i = 0
+        for a in framework:
+            i += 1
+            f.write(f"ATOM  {i:5d} Fw   MOF F    1   "
+                    f"{a['x']:8.3f}{a['y']:8.3f}{a['z']:8.3f} "
+                    f"{FRAME_MASS:.5f} {a['q']:8.5f} {FRAME_ALPHA:.5f} "
+                    f"{FRAME_EPS:.5f} {FRAME_SIG:.5f} 0.00000 0.00000\n")
+        for m, a in enumerate(sorbates):
+            i += 1
+            f.write(f"ATOM  {i:5d} Ar   ARG M {m + 2:4d}   "
+                    f"{a['x']:8.3f}{a['y']:8.3f}{a['z']:8.3f} "
+                    f"{SORB_MASS:.5f} {a['q']:8.5f} {SORB_ALPHA:.5f} "
+                    f"{SORB_EPS:.5f} {SORB_SIG:.5f} 0.00000 0.00000\n")
+        f.write("END\n")

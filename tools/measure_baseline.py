@@ -1,0 +1,121 @@
+"""Measure the CPU reference's rate on the flagship workload.
+
+The non-MPI reference build crashes on standard ensembles (size=0 calloc,
+src/System.MonteCarlo.cpp:245), so the measurable proxy is the pi_nvt
+identical-beads trick (.claude/skills/verify/SKILL.md): a displace-only
+P-bead PI run evaluates all P bead-system energies every step
+(PI_calculate_potential, src/SimulationControl.PathIntegral.cpp:118), and
+one reference uVT move performs exactly one such full-system energy
+recompute (src/System.MonteCarlo.cpp:94-134).  So
+
+    ref moves/sec  =  P * steps / wall_of_steps
+
+with setup time cancelled by differencing two runs of different lengths.
+
+Writes flagship_ref_moves_per_sec into .bench_baseline.json (committed, so
+the measurement travels with the repo and bench.py never re-runs it).
+
+Usage: python tools/measure_baseline.py [--steps-a 1 --steps-b 3 -P 4]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import flagship  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_BINARY = os.path.join(REPO, ".refbuild", "mpmcxx")
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+
+def write_input(d: str, nsteps: int):
+    with open(os.path.join(d, "run.in"), "w") as f:
+        f.write(f"""job_name flag
+ensemble pi_nvt
+temperature {flagship.TEMPERATURE}
+numsteps {nsteps}
+corrtime {nsteps}
+seed 1
+move_factor {flagship.MOVE_FACTOR}
+bead_perturb_probability 0.0
+PI_trial_chain_length 2
+parallel_restarts on
+polarization on
+polar_iterative on
+polar_max_iter {flagship.POLAR_MAX_ITER}
+polar_damp_type exponential
+polar_damp {flagship.POLAR_DAMP}
+polar_ewald on
+ewald_alpha {flagship.EWALD_ALPHA}
+polar_ewald_alpha {flagship.EWALD_ALPHA}
+pqr_input base.pqr
+basis1 {flagship.L} 0 0
+basis2 0 {flagship.L} 0
+basis3 0 0 {flagship.L}
+""")
+
+
+def timed_run(workdir: str, nsteps: int, P: int) -> float:
+    d = os.path.join(workdir, f"n{nsteps}")
+    os.makedirs(d, exist_ok=True)
+    flagship.write_pqr(os.path.join(d, "base.pqr"))
+    for s in range(P):
+        shutil.copy(os.path.join(d, "base.pqr"),
+                    os.path.join(d, f"flag.restart-{s:04d}.pqr"))
+    write_input(d, nsteps)
+    t0 = time.time()
+    r = subprocess.run([REF_BINARY, "-P", str(P), "run.in"], cwd=d,
+                       capture_output=True, text=True, timeout=6 * 3600)
+    dt = time.time() - t0
+    tail = (r.stdout + r.stderr)[-2000:]
+    print(f"[n={nsteps}] rc={r.returncode} wall={dt:.1f}s", flush=True)
+    if r.returncode != 0:
+        print(tail, flush=True)
+        raise RuntimeError(f"reference run failed (rc={r.returncode})")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps-a", type=int, default=1)
+    ap.add_argument("--steps-b", type=int, default=3)
+    ap.add_argument("-P", type=int, default=4)
+    ap.add_argument("--workdir", default=os.path.join(REPO, ".bench_ref"))
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    wa = timed_run(args.workdir, args.steps_a, args.P)
+    wb = timed_run(args.workdir, args.steps_b, args.P)
+    if wb <= wa:
+        raise RuntimeError(f"no measurable step cost: {wa:.1f}s vs {wb:.1f}s")
+    per_step = (wb - wa) / (args.steps_b - args.steps_a)
+    rate = args.P / per_step          # one move == one bead energy()
+    print(f"per PI step (= {args.P} full energies): {per_step:.2f}s "
+          f"-> reference {rate:.5f} moves/sec", flush=True)
+
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    cache.update({
+        "flagship_ref_moves_per_sec": rate,
+        "flagship_n_atoms": flagship.N_TOTAL,
+        "flagship_per_energy_sec": per_step / args.P,
+        "measured_on": f"{os.uname().machine}, "
+                       f"{os.cpu_count()} visible core(s), pi_nvt "
+                       f"P={args.P} differenced "
+                       f"{args.steps_a}->{args.steps_b} steps",
+    })
+    with open(CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(f"cached to {CACHE}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
