@@ -190,7 +190,11 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
                                              jnp.float32(0.0))))
         out_col_ref[:] = cval
 
-    plane = pl.BlockSpec((b, b), lambda i, c: (i, (i + c) % nr),
+    def wrap(i, c):
+        # homogeneous i32 arithmetic: `%` promotes under x64 and recurses
+        return jax.lax.rem((i + c).astype(jnp.int32), jnp.int32(nr))
+
+    plane = pl.BlockSpec((b, b), lambda i, c: (i, wrap(i, c)),
                          memory_space=pltpu.VMEM)
     out_row, out_col = pl.pallas_call(
         kernel,
@@ -198,7 +202,7 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
                    jax.ShapeDtypeStruct((nc2, 8, A), jnp.float32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, b), lambda i, c: (i * 0, (i + c) % nr),
+            pl.BlockSpec((8, b), lambda i, c: (i * 0, wrap(i, c)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 128), lambda i, c: (i, c * 0),
                          memory_space=pltpu.VMEM),
