@@ -369,10 +369,18 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                         ebf.dipole_rrms, ebf.cavity_penalty, sf_new,
                         recip_new)
 
-            (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
-             recip_new) = \
-                jax.lax.cond(movetype == const.MOVETYPE_VOLUME, eval_full_p,
-                             eval_delta_p, new_state)
+            # VOLUME moves exist only in NPT: keep the cond out of the
+            # graph otherwise — a lax.cond on the carried [A,A] planes
+            # blocks XLA's in-place buffer aliasing and forces full-plane
+            # copies every step (measured ~15 ms/move at 10k atoms)
+            if opts.ensemble == const.ENSEMBLE_NPT:
+                (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
+                 recip_new) = \
+                    jax.lax.cond(movetype == const.MOVETYPE_VOLUME,
+                                 eval_full_p, eval_delta_p, new_state)
+            else:
+                (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
+                 recip_new) = eval_delta_p(new_state)
             pcache_rows = rows
             eb = EnergyBreakdown(
                 total=rd + coul + pol, rd=rd, coulombic=coul,
@@ -422,9 +430,12 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                 return ebf.rd, ebf.coulombic, ebf.cavity_penalty, sf_new, \
                     recip_new
 
-            rd, coul, pen, sf_new, recip_new = jax.lax.cond(
-                movetype == const.MOVETYPE_VOLUME, eval_full, eval_delta,
-                new_state)
+            if opts.ensemble == const.ENSEMBLE_NPT:
+                rd, coul, pen, sf_new, recip_new = jax.lax.cond(
+                    movetype == const.MOVETYPE_VOLUME, eval_full,
+                    eval_delta, new_state)
+            else:
+                rd, coul, pen, sf_new, recip_new = eval_delta(new_state)
             pcache_new = carry.pcache
             total = rd + coul
             eb = EnergyBreakdown(
@@ -500,9 +511,12 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             def commit_volume(c):
                 return pcache_mod.cache_init(state_out, flags, params)
 
-            pcache_out = jax.lax.cond(movetype == const.MOVETYPE_VOLUME,
-                                      commit_volume, commit_move,
-                                      carry.pcache)
+            if opts.ensemble == const.ENSEMBLE_NPT:
+                pcache_out = jax.lax.cond(
+                    movetype == const.MOVETYPE_VOLUME, commit_volume,
+                    commit_move, carry.pcache)
+            else:
+                pcache_out = commit_move(carry.pcache)
         else:
             pcache_out = sel(pcache_new, carry.pcache)
 

@@ -304,30 +304,46 @@ def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
     allowed_sqerr = (params.polar_precision ** 2 *
                      const.DEBYE2SKA * const.DEBYE2SKA)
 
-    def cond(carry):
-        mu, old, it, done = carry
-        return ~done & (it < max_iter)
-
     contract = contract_fn if contract_fn is not None else \
         (lambda mu: _contract(Amat, mu))
 
-    def body(carry):
-        mu, old, it, _ = carry
-        it = it + 1
-        ef_ind = contract(mu)
-        new_mu = alpha * (E_static + ef_ind)
-        new_mu = jnp.where(alive, new_mu, 0.0)
-        relaxed = _apply_relax(flags, params, new_mu, mu, it)
-        if params.polar_precision == 0.0:
-            done = it >= max_iter
-        else:
-            err2 = (new_mu - mu) ** 2
-            done = jnp.all(err2 <= allowed_sqerr)
-        return (relaxed, mu, it, done)
+    if params.polar_precision == 0.0 and max_iter <= 16:
+        # fixed iteration count: unroll statically.  A nested
+        # lax.while_loop captures the (possibly GB-scale) contraction
+        # coefficients as loop-invariant buffers, and inside an outer MC
+        # scan XLA then copies every plane once per step (~1.3 ms per
+        # 420 MB plane at 10k atoms); straight-line code aliases cleanly.
+        mu, old_mu = mu0, jnp.zeros_like(mu0)
+        for it in range(1, max_iter + 1):
+            ef_ind = contract(mu)
+            new_mu = alpha * (E_static + ef_ind)
+            new_mu = jnp.where(alive, new_mu, 0.0)
+            relaxed = _apply_relax(flags, params, new_mu, mu, it)
+            mu, old_mu = relaxed, mu
+        iters = jnp.asarray(max_iter, jnp.int32)
+        done = jnp.ones((), bool)
+    else:
+        def cond(carry):
+            mu, old, it, done = carry
+            return ~done & (it < max_iter)
 
-    mu, old_mu, iters, done = jax.lax.while_loop(
-        cond, body, (mu0, jnp.zeros_like(mu0), jnp.zeros((), jnp.int32),
-                     jnp.zeros((), bool)))
+        def body(carry):
+            mu, old, it, _ = carry
+            it = it + 1
+            ef_ind = contract(mu)
+            new_mu = alpha * (E_static + ef_ind)
+            new_mu = jnp.where(alive, new_mu, 0.0)
+            relaxed = _apply_relax(flags, params, new_mu, mu, it)
+            if params.polar_precision == 0.0:
+                done = it >= max_iter
+            else:
+                err2 = (new_mu - mu) ** 2
+                done = jnp.all(err2 <= allowed_sqerr)
+            return (relaxed, mu, it, done)
+
+        mu, old_mu, iters, done = jax.lax.while_loop(
+            cond, body, (mu0, jnp.zeros_like(mu0),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
 
     failed = (params.polar_precision > 0.0) & ~done
     mu = jnp.where(failed, jnp.where(alive, alpha * E_static, 0.0), mu)
