@@ -67,7 +67,10 @@ def flagship_atoms(seed: int = 3):
     return framework, sorbates
 
 
-def build_state(extra_mol_capacity: int = 128):
+def build_state(extra_mol_capacity: int = 512):
+    # 512 insertion slots also lands the atom capacity on 10,752 = 512*21:
+    # the symmetric-triangle SCF kernel then tiles at b=512 (231 grid
+    # steps) instead of b=128 (3,321 steps of per-tile overhead)
     """Our side: SystemState + (flags, params, opts) for the bench chain."""
     from mpmcxx_tpu import FFlags, RunParams, constants as const
     from mpmcxx_tpu.mc import chain as chain_mod
