@@ -155,6 +155,18 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     [A,A] plane.
     """
     A = old_state.n_atom_slots
+    S_w = rows.shape[0]
+    # normalise to WINDOW coordinates: the update window is the S
+    # contiguous plane rows starting at min(rows[0], A-S).  For a short
+    # molecule within S-1 slots of the array end the clip shifts the
+    # window below rows[0]; re-index the moved rows inside it so row k of
+    # every [S,A] tensor is plane row start+k.
+    start_w = jnp.clip(rows[0], 0, A - S_w).astype(jnp.int32)
+    offset = rows[0].astype(jnp.int32) - start_w
+    rows_w = start_w + jnp.arange(S_w, dtype=jnp.int32)
+    valid_w = (jnp.arange(S_w) >= offset) & jnp.roll(rows >= 0, offset)
+    rows = jnp.where(valid_w, rows_w, -1)
+
     safe = jnp.clip(rows, 0, A - 1)
     valid = rows >= 0
 
@@ -175,10 +187,9 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # (contiguous-row dynamic_update_slice, see upd_plane below)
     E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
                         pt_new.dimg)
-    _S = rows.shape[0]
-    _start = jnp.clip(rows[0], 0, A - _S).astype(jnp.int32)
+    _start = start_w
     _z = jnp.zeros((), jnp.int32)
-    _cur_e = jax.lax.dynamic_slice(e, (_start, _z), (_S, 3))
+    _cur_e = jax.lax.dynamic_slice(e, (_start, _z), (S_w, 3))
     e = jax.lax.dynamic_update_slice(
         e, jnp.where(valid[:, None], E_rows, _cur_e), (_start, _z))
 
@@ -193,8 +204,8 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # whereas a gather-index scatter on a [A,A] plane materialises a full
     # 420 MB copy per plane on TPU (measured: 17 ms/commit -> ~1 ms).
     # Padded (-1) tail rows re-write current content via a blend.
-    S = rows.shape[0]
-    start = jnp.clip(rows[0], 0, A - S).astype(jnp.int32)
+    S = S_w
+    start = start_w
     z = jnp.zeros((), jnp.int32)
 
     def upd_plane(plane, rows_plane, sign):

@@ -281,3 +281,46 @@ class TestChainPolarNPT:
                                    np.asarray(ref.e_pair), atol=1e-8)
         np.testing.assert_array_equal(np.asarray(carry.pcache.co),
                                       np.asarray(ref.co))
+
+
+class TestWindowEdge:
+    def test_short_molecule_at_array_end(self):
+        """A 1-atom molecule in the LAST atom slot updated with S=2 rows:
+        the commit's DUS window shifts below rows[0] near the array end
+        and must re-index the moved rows inside it."""
+        rng = np.random.default_rng(9)
+        atoms = []
+        for m in range(6):
+            base = rng.uniform(-8, 8, 3)
+            for a in range(2):
+                atoms.append(AtomRecord(
+                    "X", "MOL", m + 1, x=base[0] + a * 1.1, y=base[1],
+                    z=base[2], mass=16.0,
+                    charge=408.7816 * (0.2 if a % 2 else -0.2),
+                    polarizability=0.5, epsilon=60.0, sigma=3.0))
+        # final SINGLE-atom molecule occupies the last atom slot
+        atoms.append(AtomRecord(
+            "Y", "ION", 99, x=2.5, y=-3.0, z=1.0, mass=23.0,
+            charge=408.7816 * 0.3, polarizability=0.3, epsilon=40.0,
+            sigma=2.8))
+        state, _ = build_state(atoms, np.eye(3) * 18.0)
+        A = state.n_atom_slots
+
+        cache = pc.cache_init(state, FLAGS, PARAMS)
+        # move the last molecule; rows padded to S=2 -> rows=[A-1, -1]
+        rows = jnp.asarray([A - 1, -1], jnp.int32)
+        new_state = state.replace(pos=state.pos.at[A - 1].add(
+            jnp.asarray([0.4, -0.2, 0.3])))
+        moved = pc.cache_move(cache, state, new_state, rows, FLAGS, PARAMS)
+        rebuilt = pc.cache_init(new_state, FLAGS, PARAMS)
+        for name in ("co", "cd", "dx", "dy", "dz"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(moved, name)),
+                np.asarray(getattr(rebuilt, name)), atol=1e-6,
+                err_msg=name)
+        np.testing.assert_allclose(np.asarray(moved.e_pair),
+                                   np.asarray(rebuilt.e_pair),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(moved.f1),
+                                   np.asarray(rebuilt.f1), rtol=1e-8,
+                                   atol=1e-8)
