@@ -162,10 +162,11 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # window below rows[0]; re-index the moved rows inside it so row k of
     # every [S,A] tensor is plane row start+k.
     start_w = jnp.clip(rows[0], 0, A - S_w).astype(jnp.int32)
-    offset = rows[0].astype(jnp.int32) - start_w
-    rows_w = start_w + jnp.arange(S_w, dtype=jnp.int32)
-    valid_w = (jnp.arange(S_w) >= offset) & jnp.roll(rows >= 0, offset)
-    rows = jnp.where(valid_w, rows_w, -1)
+    if S_w > 1:   # S == 1 windows never shift (rows[0] is always valid)
+        offset = rows[0].astype(jnp.int32) - start_w
+        rows_w = start_w + jnp.arange(S_w, dtype=jnp.int32)
+        valid_w = (jnp.arange(S_w) >= offset) & jnp.roll(rows >= 0, offset)
+        rows = jnp.where(valid_w, rows_w, -1)
 
     safe = jnp.clip(rows, 0, A - 1)
     valid = rows >= 0
