@@ -771,3 +771,61 @@ def polar(state: SystemState, pt: PairTensors, flags: FFlags,
     pot = jnp.sum(mu * E_static)
     return PolarResult(-0.5 * pot, mu, jnp.zeros(()), jnp.zeros((), bool),
                        jnp.zeros(()))
+
+
+def polarizability_tensor_report(state: SystemState, flags: FFlags,
+                                 params: RunParams):
+    """Molecular polarizability tensor from the inverted Thole matrix.
+
+    The reference's exact-path analysis mode (thole_polarizability_tensor,
+    src/System.Energy.cpp:3714-3760, dispatched from polar() at
+    :2601-2605): B = A^-1, C[p][q] = sum over atom blocks of
+    B[3i+p][3j+q], isotropic = tr(C)/3.  A report, not a hot path: the
+    inversion runs in host float64 on the live-atom subset (the reference
+    inverts the full 3N x 3N A matrix by LU and then exits the run).
+
+    Returns ``(A_dense, B, C, isotropic)`` as numpy arrays; ``A_dense``
+    and ``B`` are [3n,3n] over the n live atoms in slot order.
+    """
+    import numpy as np
+    from .pairwise import build_pairs
+
+    pt = build_pairs(state, flags)
+    Amat = np.asarray(thole_amatrix(state, pt, flags, params))
+    alive = np.asarray(state.atom_alive())
+    idx = np.nonzero(alive)[0]
+    n = len(idx)
+    # [A,A,3,3] blocks -> dense [3n,3n] over live atoms
+    A_dense = np.transpose(Amat[np.ix_(idx, idx)],
+                           (0, 2, 1, 3)).reshape(3 * n, 3 * n)
+    B = np.linalg.inv(A_dense)
+    C = B.reshape(n, 3, n, 3).sum(axis=(0, 2))
+    isotropic = np.trace(C) / 3.0
+    return A_dense, B, C, isotropic
+
+
+def print_polarizability_tensor(state: SystemState, flags: FFlags,
+                                params: RunParams, out) -> None:
+    """Print the A matrix, B matrix and molecular polarizability tensor in
+    the reference's format (print_matrix src/System.Energy.cpp:2497-2507;
+    tensor block :3745-3760)."""
+    A_dense, B, C, isotropic = polarizability_tensor_report(
+        state, flags, params)
+
+    def print_matrix(m):
+        out.write("\n")
+        for row in m:
+            out.write("".join(f"{v:.3f} " for v in row) + "\n")
+        out.write("\n")
+
+    out.write("POLAR: A matrix:\n")
+    print_matrix(A_dense)
+    out.write("POLAR: B matrix:\n")
+    print_matrix(B)
+    out.write("POLARIZATION: polarizability tensor (A^3):\n")
+    out.write("##########################\n")
+    for p in range(3):
+        out.write("".join(f"{C[p][q]:.4f} " for q in range(3)) + "\n")
+    out.write("##########################\n")
+    out.write(f"isotropic = {isotropic:.4f}\n")
+    out.write(f"XX/ZZ = {C[0][0] / C[2][2]:.4f}\n")

@@ -30,7 +30,7 @@ from ..io import output as out_io
 from ..io import pqr as pqr_io
 from ..mc import chain as chain_mod
 from ..mc.averages import AvgObservables, nodestats_from_counters
-from ..runner import Simulation, _obs_to_dict
+from ..runner import Simulation, _obs_to_dict, apply_state_fixups
 from ..state import build_state
 from . import replicas as rep
 
@@ -88,10 +88,19 @@ class ReplicaSimulation:
         self.sorbates = self.base.sorbates
 
     def _restart_path(self, r: int) -> str:
-        """Per-replica resume search: restart-000r.pqr -> .last -> input
-        (SimulationControl.cpp:2298-2355)."""
+        """Per-replica resume search: restart-000r.pqr -> .last -> input.
+
+        The reference performs this search only when ``parallel_restarts``
+        is on (SimulationControl.cpp:2298-2355); without it every rank
+        starts from pqr_input even if restart files from a previous run
+        are sitting in the directory."""
         cfg = self.cfg
-        base = cfg.pqr_restart if cfg.pqr_restart not in ("", "/dev/null") \
+        if not cfg.parallel_restarts:
+            return cfg.pqr_input
+        if cfg.pqr_restart == "/dev/null":
+            # restart output explicitly disabled: nothing to resume from
+            return cfg.pqr_input
+        base = cfg.pqr_restart if cfg.pqr_restart \
             else cfg.job_name + ".restart.pqr"
         cand = pqr_io.make_filename(base, r)
         if os.path.exists(cand):
@@ -132,10 +141,14 @@ class ReplicaSimulation:
                         target == self.base.state.n_mol_slots:
                     states[p] = self.base.state
                 else:
-                    states[p], _ = build_state(
+                    st, _ = build_state(
                         atom_lists[p], basis,
                         extra_mol_capacity=target - n_mols[p],
                         species_names=list(self.base.meta["species"]))
+                    # same post-build fixups Simulation.__init__ applies
+                    # (pbc_cutoff override) so resumed replicas use the
+                    # same cutoff as fresh ones
+                    states[p] = apply_state_fixups(st, cfg)
             st = states[p]
             s0 = states[paths[0]]
             if st.n_atom_slots != s0.n_atom_slots or \

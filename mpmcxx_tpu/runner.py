@@ -34,6 +34,18 @@ def _obs_to_dict(obs) -> dict:
             for f in dataclasses.fields(obs)}
 
 
+def apply_state_fixups(state, cfg: SimConfig):
+    """Post-build_state config overrides that every constructed state
+    (fresh, restart-resumed, per-replica) must receive identically —
+    currently the manual cutoff (pbc_cutoff keyword,
+    src/SimulationControl.cpp:1204-1208; update_pbc keeps it)."""
+    if cfg.pbc_cutoff > 0.0:
+        state = state.replace(
+            pbc=dataclasses.replace(
+                state.pbc, cutoff=jax.numpy.asarray(cfg.pbc_cutoff)))
+    return state
+
+
 class Simulation:
     """One standard-ensemble run (NVT / uVT / NPT / NVE)."""
 
@@ -60,11 +72,7 @@ class Simulation:
 
         # manual cutoff override (pbc_cutoff keyword,
         # src/SimulationControl.cpp:1204-1208; update_pbc keeps it)
-        if cfg.pbc_cutoff > 0.0:
-            import dataclasses as _dc
-            self.state = self.state.replace(
-                pbc=_dc.replace(self.state.pbc,
-                                cutoff=jax.numpy.asarray(cfg.pbc_cutoff)))
+        self.state = apply_state_fixups(self.state, cfg)
 
         # ewald alpha defaults to 3.5/cutoff unless user-set
         # (src/System.cpp:871-874)
@@ -208,6 +216,17 @@ class Simulation:
 
     def run(self) -> AvgObservables:
         cfg = self.cfg
+
+        # analysis mode: print the molecular polarizability tensor and end
+        # the run, as the reference does from its first energy() call
+        # (src/System.Energy.cpp:2601-2605 prints + throws exception_ok)
+        if cfg.polarizability_tensor and cfg.polarization and \
+                not cfg.polar_iterative:
+            from .ops import polar as polar_mod
+            polar_mod.print_polarizability_tensor(
+                self.state, self.flags, self.params, self.out)
+            return self.avg
+
         self.fp_energy = None
         self.fp_energy_csv = None
         if cfg.energy_output and cfg.energy_output != "/dev/null":

@@ -64,6 +64,8 @@ COMPONENT = {
 def test_golden(path):
     with open(path) as f:
         fix = json.load(f)
+    if fix.get("oracle") == "tensor":
+        pytest.skip("tensor fixture, covered by test_polarizability_tensor")
     state, flags, params = build_from_fixture(fix)
     eb = energy_breakdown(state, flags, params)
     exp = fix["expected"]
@@ -76,3 +78,32 @@ def test_golden(path):
         ours = float(getattr(eb, COMPONENT[comp]))
         want = exp[comp] + deltas.get(comp, 0.0)
         assert ours == pytest.approx(want, abs=atol), comp
+
+
+def test_polarizability_tensor():
+    """3x3 molecular polarizability tensor vs the reference's
+    thole_polarizability_tensor printout (src/System.Energy.cpp:3714-3760;
+    fixture = the parsed 4-decimal print)."""
+    import io
+
+    from mpmcxx_tpu.ops.polar import (polarizability_tensor_report,
+                                      print_polarizability_tensor)
+
+    path = os.path.join(GOLDEN_DIR, "polar_tensor.json")
+    with open(path) as f:
+        fix = json.load(f)
+    state, flags, params = build_from_fixture(fix)
+    _, _, C, iso = polarizability_tensor_report(state, flags, params)
+    want = np.asarray(fix["expected"]["tensor"])
+    # the fixture records the reference's %.4f print — one print quantum
+    assert np.max(np.abs(C - want)) < 2e-4
+    assert abs(iso - fix["expected"]["isotropic"]) < 2e-4
+
+    # the report printer must emit the reference's tensor block format
+    buf = io.StringIO()
+    print_polarizability_tensor(state, flags, params, buf)
+    text = buf.getvalue()
+    assert "POLAR: A matrix:" in text
+    assert "POLAR: B matrix:" in text
+    assert "POLARIZATION: polarizability tensor (A^3):" in text
+    assert f"isotropic = {fix['expected']['isotropic']:.4f}" in text

@@ -2,8 +2,9 @@
 
 One deterministic system shared by ``bench.py`` (our TPU rate) and
 ``tools/measure_baseline.py`` (the reference binary's CPU rate on the
-identical configuration): a rigid charged framework (4,096 frozen atoms,
-one molecule) plus 6,144 mobile monatomic polarizable sorbates in an
+identical configuration): a rigid charged framework (512 frozen atoms on
+an 8x8x8 grid, one molecule) plus 9,728 mobile monatomic polarizable
+sorbates (10,240 atoms total) in an
 80 A cubic box — the workload shape of the reference's production runs
 (uVT gas sorption in a MOF with a Thole dipole solve; BASELINE.json).
 

@@ -260,6 +260,17 @@ DIRECT_CASES = {
         compare=["rd", "coulombic", "polar"], record_delta=["polar"]),
 }
 
+# polarizability-tensor analysis mode (thole_polarizability_tensor,
+# src/System.Energy.cpp:3714-3760): the oracle prints the tensor block and
+# throws exception_ok; the fixture records the printed 3x3 + isotropic
+TENSOR_CASES = {
+    "polar_tensor": dict(
+        atoms=TRIATOMIC,
+        extra="polarization on\npolar_iterative off\n"
+              "polarizability_tensor on\n"
+              "polar_damp_type exponential\npolar_damp 2.1304\n"),
+}
+
 ORACLE = os.path.join(REPO, ".refbuild", "ref_oracle")
 
 
@@ -317,10 +328,64 @@ basis3 0.0 0.0 {BASIS}
             "expected": expected,
         }
         for comp in spec.get("record_delta", []):
-            fix.setdefault("known_delta", {})[comp] = \
-                _our_value(fix, comp) - expected[
-                    "polar" if comp == "polar" else comp]
+            delta = _our_value(fix, comp) - expected[
+                "polar" if comp == "polar" else comp]
+            # known_delta pins a hand-verified deviation of OUR code vs
+            # the oracle; regenerating while a regression is present would
+            # silently re-pin the wrong constant, so diff against the
+            # committed fixture and warn loudly on drift.
+            prev_path = os.path.join(OUT, f"{name}.json")
+            if os.path.exists(prev_path):
+                with open(prev_path) as pf:
+                    prev = json.load(pf).get("known_delta", {}).get(comp)
+                if prev is not None and abs(delta - prev) > 1e-9:
+                    print(f"*** WARNING {name}: regenerated known_delta"
+                          f"[{comp}] = {delta!r} differs from the "
+                          f"committed {prev!r} — verify by hand before "
+                          f"committing (a live regression would be "
+                          f"re-pinned as 'expected')", file=sys.stderr)
+            fix.setdefault("known_delta", {})[comp] = delta
         return fix
+
+
+def run_case_tensor(name, spec):
+    build_oracle()
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "base.pqr"), "w") as f:
+            f.write(pqr_text(spec["atoms"]))
+        with open(os.path.join(d, "run.in"), "w") as f:
+            f.write(f"""job_name g
+ensemble nvt
+temperature 77.0
+numsteps 1
+corrtime 1
+seed 42
+pqr_input base.pqr
+basis1 {BASIS} 0.0 0.0
+basis2 0.0 {BASIS} 0.0
+basis3 0.0 0.0 {BASIS}
+{spec['extra']}""")
+        r = subprocess.run([ORACLE, "run.in"], cwd=d, capture_output=True,
+                           text=True, timeout=300)
+        lines = r.stdout.splitlines()
+        try:
+            k = lines.index("POLARIZATION: polarizability tensor (A^3):")
+        except ValueError:
+            print(f"FAILED {name}: no tensor block (rc={r.returncode})")
+            print((r.stdout + r.stderr)[-2000:])
+            return None
+        tensor = [[float(v) for v in lines[k + 2 + p].split()]
+                  for p in range(3)]
+        iso = float(lines[k + 6].split("=")[1])
+        return {
+            "name": name,
+            "oracle": "tensor",
+            "atoms": spec["atoms"],
+            "basis": BASIS,
+            "temperature": 77.0,
+            "config_extra": spec["extra"],
+            "expected": {"tensor": tensor, "isotropic": iso},
+        }
 
 
 def _our_value(fix, comp):
@@ -404,10 +469,13 @@ basis3 0.0 0.0 {BASIS}
 
 
 def main():
-    wanted = sys.argv[1:] or (list(CASES) + list(DIRECT_CASES))
+    wanted = sys.argv[1:] or (list(CASES) + list(DIRECT_CASES) +
+                              list(TENSOR_CASES))
     for name in wanted:
         if name in CASES:
             fix = run_case(name, CASES[name])
+        elif name in TENSOR_CASES:
+            fix = run_case_tensor(name, TENSOR_CASES[name])
         else:
             fix = run_case_direct(name, DIRECT_CASES[name])
         if fix is None:
@@ -416,6 +484,9 @@ def main():
         with open(path, "w") as f:
             json.dump(fix, f, indent=1)
         e = fix["expected"]
+        if fix.get("oracle") == "tensor":
+            print(f"{name}: tensor={e['tensor']} iso={e['isotropic']}")
+            continue
         print(f"{name}: rd={e['rd']} coul={e['coulombic']} "
               f"polar={e['polar']} vdw={e['vdw']}"
               + (f" tb={e['three_body']} kin={e['kinetic']}"

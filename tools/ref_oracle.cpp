@@ -25,7 +25,15 @@ int main(int argc, char **argv) {
     }
     SimulationControl sc(argv[1], 0, false, nullptr);
     sc.initializeSimulationObjects();
-    sc.sys.energy();
+    try {
+        sc.sys.energy();
+    } catch (int e) {
+        // polarizability_tensor mode prints its report from inside
+        // polar() and throws exception_ok (=100) to end the run
+        // (src/System.Energy.cpp:2601-2605, constants.h:108)
+        fflush(stdout);
+        return e == 100 ? 0 : e;
+    }
     System::observables_t *o = sc.sys.observables;
     printf("{\"energy\": %.10f, \"rd\": %.10f, \"coulombic\": %.10f, "
            "\"polar\": %.10f, \"vdw\": %.10f, \"three_body\": %.10f, "
