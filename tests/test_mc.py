@@ -302,3 +302,47 @@ class TestPIFrames:
         assert frames[0] == "16"
         assert frames[1].startswith("Frame:")
         assert len(frames) % 18 == 0
+
+
+class TestNVERun:
+    def test_nve_end_to_end_cli(self, tmp_path, monkeypatch):
+        """ENSEMBLE_NVE through config -> validate -> Simulation -> CLI:
+        energy conservation bookkeeping (kinetic = total_energy - U,
+        src/System.Energy.cpp:156-159) and a moving chain."""
+        monkeypatch.chdir(tmp_path)
+        atoms = []
+        rng = np.random.default_rng(4)
+        for m in range(6):
+            x, y, z = rng.uniform(-5.5, 5.5, 3)
+            atoms.append(f"ATOM  {m+1:5d} Ar   ARG  M {m+1:4d}   "
+                         f"{x:10.5f} {y:10.5f} {z:10.5f}  39.94800   "
+                         f"0.00000   0.00000 119.80000   3.40500   "
+                         f"0.00000   0.00000")
+        with open("ar.pqr", "w") as f:
+            f.write("\n".join(atoms) + "\nEND\n")
+        with open("run.in", "w") as f:
+            f.write("""job_name nve
+ensemble nve
+total_energy 900.0
+numsteps 64
+corrtime 16
+seed 7
+move_factor 0.7
+rd_lrc off
+energy_output nve.energy.dat
+pqr_input ar.pqr
+basis1 12 0 0
+basis2 0 12 0
+basis3 0 0 12
+""")
+        from mpmcxx_tpu.cli import main
+        assert main(["--quiet", "run.in"]) == 0
+        rows = [r.split() for r in
+                open("nve.energy.dat").read().splitlines()[1:]]
+        assert len(rows) >= 4
+        for r in rows:
+            energy, kinetic = float(r[1]), float(r[6])
+            # NVE observables: potential + kinetic = total_energy exactly
+            assert kinetic == pytest.approx(900.0 - energy, abs=1e-4)
+        # the chain moved (energies change across corrtimes)
+        assert len({r[1] for r in rows}) > 1

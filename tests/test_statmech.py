@@ -137,3 +137,73 @@ class TestDetailedBalanceNVT:
         direct = (e * w).sum() / (w.sum() + vol_frac_out * 400000)
         assert mc_mean == pytest.approx(direct, abs=12.0), \
             (mc_mean, direct)
+
+
+class TestMicrocanonicalNVE:
+    def test_configurational_weight(self):
+        # NVE MC samples configurations with the microcanonical weight the
+        # acceptance ratio implements: p(x) ~ (E_tot - U(x))^{3N/2}
+        # (src/System.MonteCarlo.cpp:1459-1462, with the intended movable-
+        # molecule N; the reference's own N is latently stuck at 0, see
+        # README Fidelity / src/System.cpp:916-927).  Two LJ atoms,
+        # N = 2 -> exponent 3; <U> must match direct numerical integration
+        # over the minimum-image cell.
+        L, E_tot = 10.0, 300.0
+        eps, sig = 119.8, 3.0
+        atoms = [AtomRecord("Ar", "AR", 1, x=-2.0, mass=39.9, epsilon=eps,
+                            sigma=sig),
+                 AtomRecord("Ar", "AR", 2, x=2.0, mass=39.9, epsilon=eps,
+                            sigma=sig)]
+        state, _ = build_state(atoms, np.eye(3) * L)
+        flags = FFlags(rd_lrc=False)
+        params = RunParams(temperature=100.0, total_energy=E_tot)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVE,
+                                   move_factor=2.5, numsteps=100000,
+                                   incremental=True, max_mol_atoms=1)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=11)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 64)
+        Es, kin = [], []
+        for _ in range(300):
+            carry, _ = runner(carry)
+            Es.append(float(carry.obs.energy))
+            kin.append(float(carry.obs.kinetic_energy))
+        mc_mean = np.mean(Es[60:])
+
+        # NVE bookkeeping: kinetic = E_tot - U every step
+        np.testing.assert_allclose(np.asarray(kin),
+                                   E_tot - np.asarray(Es), rtol=1e-12)
+
+        # direct integration: min-image displacement is uniform on the
+        # cube; weight (E_tot - U)^3 clamped at 0 (E > E_tot rejected)
+        rng = np.random.default_rng(0)
+        d = rng.uniform(-L / 2, L / 2, size=(2000000, 3))
+        r = np.linalg.norm(d, axis=1)
+        e = np.zeros_like(r)
+        inside = r < L / 2
+        sor6 = (sig / r[inside]) ** 6
+        e[inside] = 4 * eps * (sor6 ** 2 - sor6)
+        w = np.clip(E_tot - e, 0.0, None) ** 3
+        direct = (e * w).sum() / w.sum()
+        assert mc_mean == pytest.approx(direct, abs=8.0), (mc_mean, direct)
+
+    def test_high_energy_moves_accepted(self):
+        # with E_tot huge the weight ratio -> 1: acceptance must approach
+        # 100% (the microcanonical factor, not some hidden NVT exp)
+        L = 10.0
+        atoms = [AtomRecord("Ar", "AR", 1, x=-2.0, mass=39.9, epsilon=119.8,
+                            sigma=3.0),
+                 AtomRecord("Ar", "AR", 2, x=2.0, mass=39.9, epsilon=119.8,
+                            sigma=3.0)]
+        state, _ = build_state(atoms, np.eye(3) * L)
+        flags = FFlags(rd_lrc=False)
+        params = RunParams(temperature=100.0, total_energy=1.0e8)
+        opts = chain_mod.MCOptions(ensemble=const.ENSEMBLE_NVE,
+                                   move_factor=0.5, numsteps=2000,
+                                   incremental=True, max_mol_atoms=1)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=2)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 64)
+        for _ in range(8):
+            carry, _ = runner(carry)
+        acc = np.asarray(carry.stats.accept).sum()
+        rej = np.asarray(carry.stats.reject).sum()
+        assert acc / (acc + rej) > 0.97
