@@ -1,10 +1,15 @@
 """North-star benchmark: MC moves/sec on the flagship workload.
 
 Workload (tools/flagship.py, shared with the reference baseline tool):
-10,240-atom polarizable GCMC — a frozen charged framework + 9,728 mobile
-polarizable sorbates, uVT insert/remove/displace with the incremental
-Delta-E path, polar_mixed Thole SCF (4 iterations/move), full Ewald.
-This is BASELINE.json's metric ("MC moves/sec/chip at 10k-atom GCMC").
+10,112-atom polarizable multi-site GCMC — a frozen charged framework +
+3,200 rigid 3-site CO2-like sorbates (partial charges, per-site
+polarizabilities), uVT insert/remove/displace with oriented multi-site
+insertion, the incremental Delta-E + structure-factor paths, polar_mixed
+Thole SCF (4 iterations/move), full Ewald.  This is BASELINE.json's
+metric ("MC moves/sec/chip at 10k-atom GCMC") in the reference's
+production shape (CO2/H2 sorption).  The monatomic 10,240-atom variant
+(the round-1/2 headline) is kept as a secondary metric.  All timings are
+median/min/max over >=3 segments.
 
 Baseline: the compiled reference binary's measured rate on the identical
 configuration, cached in .bench_baseline.json by tools/measure_baseline.py
@@ -42,35 +47,50 @@ def _log(msg):
           flush=True)
 
 
-def flagship_moves_per_sec() -> float:
+def flagship_moves_per_sec(model: str = "co2", repeats: int = 3) -> dict:
+    """Returns {"median", "min", "max"} moves/s over ``repeats`` timing
+    segments of MEASURE_STEPS moves each (error bars: remote-tunnel and
+    clock variance is real, single points hide regressions)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     import flagship
     from mpmcxx_tpu.mc import chain as chain_mod
 
-    state, _meta, flags, params, opts = flagship.build_state()
+    if model == "co2":
+        state, _meta, flags, params, opts = flagship.build_state_co2()
+        n_total = flagship.N_TOTAL_CO2
+        label = "3,200x3-site CO2"
+    else:
+        state, _meta, flags, params, opts = flagship.build_state()
+        n_total = flagship.N_TOTAL
+        label = "monatomic"
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     topo = flagship.topology(state)
     runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK,
                                          topology=topo)
 
-    _log(f"flagship: compiling {flagship.N_TOTAL}-atom polarizable GCMC "
-         f"chunk ({CHUNK} steps)...")
+    _log(f"flagship[{model}]: compiling {n_total}-atom ({label}) "
+         f"polarizable GCMC chunk ({CHUNK} steps)...")
     carry, _ = runner(carry)
     # fetch a scalar: block_until_ready does not force remote-TPU completion
     e0 = float(carry.obs.energy)
-    _log(f"flagship: compiled; E = {e0:.1f} K; timing {MEASURE_STEPS} moves")
+    _log(f"flagship[{model}]: compiled; E = {e0:.1f} K; timing "
+         f"{repeats}x{MEASURE_STEPS} moves")
 
-    t0 = time.time()
-    done = 0
-    while done < MEASURE_STEPS:
-        carry, _ = runner(carry)
-        done += CHUNK
-    float(carry.obs.energy)
-    dt = time.time() - t0
-    _log(f"flagship: {done} moves in {dt:.2f}s -> {done / dt:.2f} moves/s "
-         f"(N = {int(carry.obs.N)})")
-    return done / dt
+    rates = []
+    for rep in range(repeats):
+        t0 = time.time()
+        done = 0
+        while done < MEASURE_STEPS:
+            carry, _ = runner(carry)
+            done += CHUNK
+        float(carry.obs.energy)
+        dt = time.time() - t0
+        rates.append(done / dt)
+        _log(f"flagship[{model}] rep {rep}: {done} moves in {dt:.2f}s -> "
+             f"{done / dt:.2f} moves/s (N = {int(carry.obs.N)})")
+    return {"median": float(np.median(rates)), "min": min(rates),
+            "max": max(rates)}
 
 
 def thole_solve_ms(state=None, flags=None, params=None) -> float:
@@ -99,13 +119,17 @@ def thole_solve_ms(state=None, flags=None, params=None) -> float:
 
     _log("thole: compiling SCF solve...")
     float(solve(state, coeffs, E_static))
-    reps = 10
-    t0 = time.time()
-    for _ in range(reps):
-        e = solve(state, coeffs, E_static)
-    float(e)
-    ms = (time.time() - t0) / reps * 1e3
-    _log(f"thole: {ms:.1f} ms per 4-iteration SCF solve")
+    reps, segments = 10, 3
+    ms_seg = []
+    for _ in range(segments):
+        t0 = time.time()
+        for _ in range(reps):
+            e = solve(state, coeffs, E_static)
+        float(e)
+        ms_seg.append((time.time() - t0) / reps * 1e3)
+    ms = float(np.median(ms_seg))
+    _log(f"thole: {ms:.1f} ms per 4-iteration SCF solve "
+         f"(min {min(ms_seg):.1f} max {max(ms_seg):.1f})")
     return ms
 
 
@@ -166,18 +190,36 @@ def load_baseline() -> dict:
 
 def main():
     base = load_baseline()
-    ref = float(base.get("flagship_ref_moves_per_sec", 0.0))
+    ref_co2 = float(base.get("flagship_co2_ref_moves_per_sec", 0.0))
+    ref_ar = float(base.get("flagship_ref_moves_per_sec", 0.0))
 
-    ours = flagship_moves_per_sec()
+    co2 = flagship_moves_per_sec("co2")
     result = {
-        "metric": "MC moves/sec, 10,240-atom polarizable GCMC "
-                  "(uVT, 4-iter Thole SCF, Ewald)",
-        "value": round(ours, 2),
+        "metric": "MC moves/sec, 10,112-atom polarizable multi-site CO2 "
+                  "GCMC (uVT, oriented 3-site insertion, 4-iter Thole "
+                  "SCF, Ewald)",
+        "value": round(co2["median"], 2),
         "unit": "moves/sec",
-        "vs_baseline": round(ours / ref, 1) if ref > 0 else 0.0,
+        "vs_baseline": round(co2["median"] / ref_co2, 1)
+        if ref_co2 > 0 else 0.0,
     }
 
-    secondary = {}
+    secondary = {
+        "flagship_co2_min_max": [round(co2["min"], 2),
+                                 round(co2["max"], 2)],
+    }
+    if time.time() - _T0 < BUDGET_S:
+        try:
+            ar = flagship_moves_per_sec("ar")
+            secondary["flagship_monatomic_moves_per_sec"] = \
+                round(ar["median"], 2)
+            secondary["flagship_monatomic_min_max"] = \
+                [round(ar["min"], 2), round(ar["max"], 2)]
+            if ref_ar > 0:
+                secondary["flagship_monatomic_vs_baseline"] = \
+                    round(ar["median"] / ref_ar, 1)
+        except Exception as e:  # pragma: no cover
+            _log(f"monatomic flagship secondary failed: {e}")
     if time.time() - _T0 < BUDGET_S:
         try:
             secondary["thole_solve_ms_10240"] = round(thole_solve_ms(), 1)
@@ -189,12 +231,13 @@ def main():
                 round(pimc_sweeps_per_sec(), 1)
         except Exception as e:  # pragma: no cover
             _log(f"pimc secondary failed: {e}")
-    if ref > 0:
-        secondary["ref_flagship_moves_per_sec"] = round(ref, 4)
-        if base.get("measured_on"):
-            secondary["ref_measured_on"] = base["measured_on"]
-    if secondary:
-        result["secondary"] = secondary
+    if ref_co2 > 0:
+        secondary["ref_flagship_co2_moves_per_sec"] = round(ref_co2, 4)
+        if base.get("flagship_co2_measured_on"):
+            secondary["ref_measured_on"] = base["flagship_co2_measured_on"]
+    if ref_ar > 0:
+        secondary["ref_flagship_monatomic_moves_per_sec"] = round(ref_ar, 4)
+    result["secondary"] = secondary
     print(json.dumps(result))
 
 

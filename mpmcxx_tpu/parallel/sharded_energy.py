@@ -55,9 +55,14 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
     Call under ``jax.jit`` with ``state`` replicated; returns replicated
     scalars.  Supports the same flag set as the blocked path.
     """
-    if (flags.polarvdw or flags.using_axilrod_teller or flags.rd_crystal
-            or flags.gwp or flags.spectre or flags.rd_anharmonic):
-        raise ValueError("sharded energy requires pairwise + k-space terms")
+    if flags.rd_crystal or flags.gwp or flags.spectre or flags.rd_anharmonic:
+        # these change the pair-term semantics themselves (lattice-image
+        # sums / wavepacket coulomb / charge sampling / bond springs) and
+        # have no row-sliced kernels; single-chip only (README "Multi-chip
+        # coverage")
+        raise ValueError(
+            "sharded energy: rd_crystal / gwp / spectre / rd_anharmonic "
+            "run single-chip only (dense energy_breakdown)")
     if flags.polarization and not flags.polar_mixed:
         raise ValueError("sharded polarization runs on the mixed-precision "
                          "planes; set polar_mixed")
@@ -179,12 +184,29 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
             coul = coul + ewald.coulombic_reciprocal(state, flags, params) \
                 + ewald.coulombic_self(state, params)
 
+    # whole-system many-body terms, computed replicated on every device:
+    # polarvdw is an eigendecomposition of the 3N x 3N Thole matrix and
+    # Axilrod-Teller an O(N^3) triple sum — neither row-shards, both only
+    # appear in small-N workloads where the sharded O(A^2) pair work above
+    # still pays.  Scaling story: pair + SCF terms shard; these replicate.
     z = jnp.zeros(())
-    total = rd + coul + pol
+    vdw_e = z
+    tb = z
+    if flags.polarvdw or flags.using_axilrod_teller:
+        from ..ops import polarvdw, three_body
+        from ..ops.pairwise import build_pairs
+        pt_dense = build_pairs(state, flags)
+        if flags.polarvdw:
+            amat = polar_mod.thole_amatrix(state, pt_dense, flags, params)
+            vdw_e = polarvdw.vdw(state, amat, pt_dense, flags, params)
+        if flags.using_axilrod_teller:
+            tb = three_body.axilrod_teller(state, pt_dense, flags)
+
+    total = rd + coul + pol + vdw_e + tb
     pen = jnp.where(pen_hit, const.MAXVALUE, 0.0) \
         if flags.cavity_autoreject_absolute else z
     return EnergyBreakdown(
-        total=total, rd=rd, coulombic=coul, polarization=pol, vdw=z,
-        three_body=z, kinetic=z, mu=mu,
+        total=total, rd=rd, coulombic=coul, polarization=pol, vdw=vdw_e,
+        three_body=tb, kinetic=z, mu=mu,
         polarization_iterations=pol_iters, iterator_failed=failed,
         dipole_rrms=rrms, cavity_penalty=pen)

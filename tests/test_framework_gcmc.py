@@ -6,6 +6,8 @@ pairs must not contribute energy, and sorbate-framework interactions must
 drive adsorption.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,85 @@ basis3 0 0 14
         last = lines[-1].split()
         polar_col = float(last[4])
         assert polar_col != 0.0
+
+
+@pytest.mark.slow
+class TestMultiSiteFlagship:
+    """The flagship's production shape: 3-site charged polarizable
+    sorbates (tools/flagship.py build_state_co2) at mini scale — S=3 rows
+    through insert/remove/displace with the incremental Delta-E,
+    structure-factor, and polar-cache paths (the reference's core use
+    case, src/System.MonteCarlo.cpp:740-833)."""
+
+    def _mini(self):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "tools"))
+        import flagship
+        orig = (flagship.G_FRAME, flagship.N_CO2)
+        flagship.G_FRAME, flagship.N_CO2 = 4, 40
+        try:
+            out = flagship.build_state_co2(extra_mol_capacity=8)
+            topo = flagship.topology(out[0])
+        finally:
+            flagship.G_FRAME, flagship.N_CO2 = orig
+        return out, topo
+
+    def test_chain_tracks_full_recompute(self):
+        from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+        (state, _meta, flags, params, opts), topo = self._mini()
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 64,
+                                             topology=topo)
+        for _ in range(3):
+            carry, _ = runner(carry)
+        acc = np.asarray(carry.stats.accept)
+        assert acc.sum() > 0
+        # insert/remove fired and at least one was accepted
+        assert acc[const.MOVETYPE_INSERT] + acc[const.MOVETYPE_REMOVE] > 0
+        eb = energy_breakdown_blocked(carry.state, flags, params)
+        assert float(carry.obs.polarization_energy) == pytest.approx(
+            float(eb.polarization), rel=2e-6, abs=1e-8)
+        assert float(carry.obs.rd_energy) == pytest.approx(
+            float(eb.rd), rel=1e-9, abs=1e-9)
+        assert float(carry.obs.coulombic_energy) == pytest.approx(
+            float(eb.coulombic), rel=1e-9, abs=1e-9)
+        # molecules stay rigid: every live sorbate keeps the C=O geometry
+        import flagship
+        pos = np.asarray(carry.state.pos)
+        mol_id = np.asarray(carry.state.mol_id)
+        alive = np.asarray(carry.state.mol_alive)
+        frozen = np.asarray(carry.state.mol_frozen)
+        for mm in np.nonzero(alive & ~frozen)[0]:
+            rows = np.nonzero(mol_id == mm)[0]
+            assert len(rows) == 3
+            c, o1, o2 = pos[rows]
+            assert np.linalg.norm(o1 - c) == pytest.approx(
+                flagship.CO2_BOND, abs=1e-9)
+            assert np.linalg.norm(o2 - c) == pytest.approx(
+                flagship.CO2_BOND, abs=1e-9)
+
+    def test_oriented_insertion_randomizes_axes(self):
+        # accepted insertions must not all share the template orientation
+        (state, _meta, flags, params, opts), topo = self._mini()
+        import dataclasses
+        opts = dataclasses.replace(opts, insert_probability=0.9,
+                                   fugacity=50.0)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=3)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 64,
+                                             topology=topo)
+        before_alive = np.asarray(state.mol_alive).copy()
+        for _ in range(3):
+            carry, _ = runner(carry)
+        pos = np.asarray(carry.state.pos)
+        mol_id = np.asarray(carry.state.mol_id)
+        newly = np.nonzero(np.asarray(carry.state.mol_alive) &
+                           ~before_alive)[0]
+        axes = []
+        for mm in newly:
+            rows = np.nonzero(mol_id == mm)[0]
+            c, o1, _ = pos[rows]
+            axes.append((o1 - c) / np.linalg.norm(o1 - c))
+        assert len(axes) >= 2
+        dots = [abs(np.dot(axes[0], a)) for a in axes[1:]]
+        assert min(dots) < 0.999  # orientations differ

@@ -107,3 +107,34 @@ def test_polarizability_tensor():
     assert "POLAR: B matrix:" in text
     assert "POLARIZATION: polarizability tensor (A^3):" in text
     assert f"isotropic = {fix['expected']['isotropic']:.4f}" in text
+
+
+@pytest.mark.slow
+def test_flagship_co2_singlepoint():
+    """Full-scale multi-site flagship fidelity gate: the 10,112-atom CO2
+    GCMC configuration's single-point breakdown vs the reference binary
+    (fixture from tools/measure_baseline.py --model co2, pi_nvt
+    identical-beads row 0)."""
+    import sys
+
+    path = os.path.join(GOLDEN_DIR, "flagship_co2_singlepoint.json")
+    if not os.path.exists(path):
+        pytest.skip("fixture not generated (tools/measure_baseline.py "
+                    "--model co2)")
+    with open(path) as f:
+        fix = json.load(f)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import flagship
+    from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+
+    state, _meta, flags, params, _opts = flagship.build_state_co2()
+    eb = energy_breakdown_blocked(state, flags, params)
+    exp = fix["expected"]
+    # energy.dat prints 6 decimals; components here are O(1e5-1e6) K, so
+    # gate on relative error at the 1e-6 contract
+    for comp, field in (("rd", "rd"), ("coulombic", "coulombic"),
+                        ("polar", "polarization")):
+        ours = float(getattr(eb, field))
+        assert ours == pytest.approx(exp[comp], rel=2e-6, abs=2e-5), comp

@@ -87,3 +87,53 @@ class TestShardedEnergy:
             float(a.polarization), rel=1e-6)
         assert float(b.coulombic) == pytest.approx(float(a.coulombic),
                                                    abs=1e-9)
+
+
+class TestShardedWholeSystemTerms:
+    """polarvdw + Axilrod-Teller ride the sharded path as replicated
+    whole-system terms (an eig / O(N^3) triple sum cannot row-shard; both
+    appear only at small N where the sharded pair work still pays)."""
+
+    def test_polarvdw_matches_dense(self):
+        from mpmcxx_tpu.ops.energy import energy_breakdown
+        state, _ = system(n_mol=10, polar=True)
+        flags = FFlags(polarvdw=True, polarization=True,
+                       polar_iterative=True, polar_ewald=True,
+                       polar_mixed=True, polar_max_iter=10)
+        # omega drives the coupled-dipole spectrum
+        state = state.replace(omega=jnp.where(state.atom_alive(), 0.6, 0.0))
+        params = RunParams(temperature=140.0, ewald_alpha=3.5 / 12.0,
+                           polar_ewald_alpha=3.5 / 12.0, polar_damp=2.1304,
+                           polar_gamma=1.0)
+        mesh = rep.make_mesh(8)
+        a = energy_breakdown(state, flags, params)
+        b = jax.jit(lambda s: sharded_breakdown(s, flags, params, mesh,
+                                                block=16))(state)
+        assert float(b.vdw) == pytest.approx(float(a.vdw), rel=1e-9,
+                                             abs=1e-9)
+        assert float(b.rd) == pytest.approx(float(a.rd), abs=1e-9)
+
+    def test_axilrod_teller_matches_dense(self):
+        from mpmcxx_tpu.ops.energy import energy_breakdown
+        state, _ = system(n_mol=8)
+        state = state.replace(
+            polarizability=jnp.where(state.atom_alive(), 1.642, 0.0),
+            c9=jnp.where(state.atom_alive(), 518.3, 0.0))
+        flags = FFlags(using_axilrod_teller=True)
+        params = RunParams(temperature=140.0, ewald_alpha=3.5 / 12.0)
+        mesh = rep.make_mesh(8)
+        a = energy_breakdown(state, flags, params)
+        b = jax.jit(lambda s: sharded_breakdown(s, flags, params, mesh,
+                                                block=16))(state)
+        assert float(a.three_body) != 0.0
+        assert float(b.three_body) == pytest.approx(float(a.three_body),
+                                                    rel=1e-9)
+
+    def test_unsupported_flags_still_raise(self):
+        state, _ = system(n_mol=4)
+        mesh = rep.make_mesh(8)
+        params = RunParams(temperature=140.0)
+        for fl in (FFlags(rd_crystal=True), FFlags(gwp=True),
+                   FFlags(spectre=True), FFlags(rd_anharmonic=True)):
+            with pytest.raises(ValueError):
+                sharded_breakdown(state, fl, params, mesh, block=16)

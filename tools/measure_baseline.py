@@ -61,10 +61,11 @@ basis3 0 0 {flagship.L}
 """)
 
 
-def timed_run(workdir: str, nsteps: int, P: int) -> float:
-    d = os.path.join(workdir, f"n{nsteps}")
+def timed_run(workdir: str, nsteps: int, P: int, model: str = "ar") -> float:
+    d = os.path.join(workdir, f"{model}-n{nsteps}")
     os.makedirs(d, exist_ok=True)
-    flagship.write_pqr(os.path.join(d, "base.pqr"))
+    writer = flagship.write_pqr if model == "ar" else flagship.write_pqr_co2
+    writer(os.path.join(d, "base.pqr"))
     for s in range(P):
         shutil.copy(os.path.join(d, "base.pqr"),
                     os.path.join(d, f"flag.restart-{s:04d}.pqr"))
@@ -81,17 +82,43 @@ def timed_run(workdir: str, nsteps: int, P: int) -> float:
     return dt
 
 
+def singlepoint_fixture(workdir: str, nsteps: int, model: str):
+    """Record row 0 of the timed run's energy.dat as a golden single-point
+    fixture (the identical-beads trick: row 0 = exact potential breakdown
+    of the written configuration)."""
+    d = os.path.join(workdir, f"{model}-n{nsteps}")
+    dat = os.path.join(d, "flag.energy.dat")
+    with open(dat) as f:
+        cols = f.read().splitlines()[1].split()
+    fix = {
+        "name": f"flagship_{model}_singlepoint",
+        "model": model,
+        "expected": {
+            "energy": float(cols[1]), "coulombic": float(cols[2]),
+            "rd": float(cols[3]), "polar": float(cols[4]),
+            "vdw": float(cols[5]), "kinetic": float(cols[6]),
+        },
+    }
+    out = os.path.join(REPO, "tests", "golden",
+                       f"flagship_{model}_singlepoint.json")
+    with open(out, "w") as f:
+        json.dump(fix, f, indent=1)
+    print(f"single-point fixture -> {out}: {fix['expected']}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-a", type=int, default=1)
     ap.add_argument("--steps-b", type=int, default=3)
     ap.add_argument("-P", type=int, default=4)
     ap.add_argument("--workdir", default=os.path.join(REPO, ".bench_ref"))
+    ap.add_argument("--model", choices=("ar", "co2"), default="ar")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    wa = timed_run(args.workdir, args.steps_a, args.P)
-    wb = timed_run(args.workdir, args.steps_b, args.P)
+    wa = timed_run(args.workdir, args.steps_a, args.P, args.model)
+    wb = timed_run(args.workdir, args.steps_b, args.P, args.model)
+    singlepoint_fixture(args.workdir, args.steps_a, args.model)
     if wb <= wa:
         raise RuntimeError(f"no measurable step cost: {wa:.1f}s vs {wb:.1f}s")
     per_step = (wb - wa) / (args.steps_b - args.steps_a)
@@ -103,14 +130,18 @@ def main():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
+    prefix = "flagship_" if args.model == "ar" else "flagship_co2_"
+    n_atoms = flagship.N_TOTAL if args.model == "ar" else \
+        flagship.N_TOTAL_CO2
     cache.update({
-        "flagship_ref_moves_per_sec": rate,
-        "flagship_n_atoms": flagship.N_TOTAL,
-        "flagship_per_energy_sec": per_step / args.P,
-        "measured_on": f"{os.uname().machine}, "
-                       f"{os.cpu_count()} visible core(s), pi_nvt "
-                       f"P={args.P} differenced "
-                       f"{args.steps_a}->{args.steps_b} steps",
+        prefix + "ref_moves_per_sec": rate,
+        prefix + "n_atoms": n_atoms,
+        prefix + "per_energy_sec": per_step / args.P,
+        prefix + "measured_on":
+            f"{os.uname().machine}, "
+            f"{os.cpu_count()} visible core(s), pi_nvt "
+            f"P={args.P} differenced "
+            f"{args.steps_a}->{args.steps_b} steps",
     })
     with open(CACHE, "w") as f:
         json.dump(cache, f, indent=1)
