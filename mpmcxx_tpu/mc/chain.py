@@ -42,6 +42,15 @@ class MCOptions:
     volume_change_factor: float = 0.25
     fugacity: float = 0.0          # atm (resolved: EoS/user/pressure)
     sorbate_count: int = 1
+    # multi-sorbate mixtures: insertion species are drawn uniformly from
+    # ``insert_species`` (mol_type indices) — the insertion-list semantics
+    # the reference's x sorbateCount factor assumes
+    # (src/System.MonteCarlo.cpp:413-421; the list itself is vestigial in
+    # this edition, src/System.cpp:480-489).  ``type_fugacities`` maps
+    # mol_type index -> fugacity (atm) for per-species factors
+    # (the fugacities[sorbateInsert] role, :1362-1367).
+    insert_species: tuple = ()
+    type_fugacities: tuple = ()
     quantum_rotation: bool = False
     simulated_annealing: bool = False
     simulated_annealing_linear: bool = False
@@ -315,7 +324,20 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             cavity_carry = carry.cavity
             insert_com = None
 
-        insert_slot = moves.find_dead_slot(state, state.mol_type[target])
+        if opts.sorbate_count > 1 and opts.insert_species:
+            # mixture: draw the insertion species uniformly; the dead slot
+            # doubles as the geometry template (slots keep their species
+            # geometry through remove — only mol_alive flips)
+            k_spec = jax.random.fold_in(k_target, 2)
+            si = jnp.floor(jax.random.uniform(k_spec) *
+                           opts.sorbate_count).astype(jnp.int32)
+            ins_species = jnp.asarray(opts.insert_species, jnp.int32)[si]
+            insert_slot = moves.find_dead_slot(state, ins_species)
+            target = jnp.where(movetype == const.MOVETYPE_INSERT,
+                               jnp.maximum(insert_slot, 0), target)
+        else:
+            insert_slot = moves.find_dead_slot(state,
+                                               state.mol_type[target])
         new_state, valid = apply_move(state, k_apply, movetype, target,
                                       insert_com, insert_slot)
         v_old = state.pbc.volume
@@ -475,8 +497,17 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
         T = carry.temperature
         if opts.ensemble == const.ENSEMBLE_UVT:
+            if opts.sorbate_count > 1 and opts.type_fugacities:
+                # per-species fugacity: for INSERT target is the slot
+                # (whose mol_type IS the drawn species); for REMOVE the
+                # removed molecule's own species
+                fug_move = jnp.asarray(opts.type_fugacities)[
+                    jnp.clip(state.mol_type[target], 0,
+                             len(opts.type_fugacities) - 1)]
+            else:
+                fug_move = opts.fugacity
             bf = metropolis.uvt_factor(
-                movetype, delta, T, state.pbc.volume, opts.fugacity,
+                movetype, delta, T, state.pbc.volume, fug_move,
                 obs_after.N, float(opts.sorbate_count),
                 biased, cavity_carry[1], cavity_carry[0], pr)
         elif opts.ensemble == const.ENSEMBLE_NPT:

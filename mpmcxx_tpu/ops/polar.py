@@ -284,12 +284,16 @@ def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
     mu0 = alpha * E_static
     if not (flags.polar_sor or flags.polar_esor):
         mu0 = mu0 * params.polar_gamma
-    if flags.polar_warm_start and not flags.polar_zodid and \
-            params.polar_precision > 0.0:
+    if flags.polar_warm_start and not flags.polar_zodid:
         # TPU extension (off by default): start from the previous accepted
-        # step's converged dipoles carried on the state — same fixed point
-        # under precision termination, fewer iterations.  The reference
-        # always cold-starts from alpha*E (init_dipoles,
+        # step's converged dipoles carried on the state.  Under precision
+        # termination this reaches the same fixed point in fewer
+        # iterations; under a fixed iteration count it lands closer to the
+        # fixed point than the same count cold (quantified on the flagship
+        # workload in tools/warmstart_study.py / docs/PERF.md — the
+        # stationary residual is bounded by c^K * per-move-change/(1-c^K)
+        # for contraction factor c, so errors do not accumulate).  The
+        # reference always cold-starts from alpha*E (init_dipoles,
         # src/System.Energy.cpp:3547-3560), which stays the default.
         carried = jnp.any(state.mu != 0.0)
         mu0 = jnp.where(carried, state.mu, mu0)

@@ -64,8 +64,19 @@ class Simulation:
         basis = self._resolve_basis(cfg)
         extra = 0
         if cfg.ensemble == const.ENSEMBLE_UVT:
-            n_mov = len({a.molecule_id for a in atoms if not a.frozen})
-            extra = max(int(n_mov * (uvt_capacity_factor - 1.0)), 32)
+            mov_by_species: dict = {}
+            for a in atoms:
+                if not a.frozen and not a.adiabatic and not a.target:
+                    mov_by_species.setdefault(a.moleculetype,
+                                              set()).add(a.molecule_id)
+            if len(mov_by_species) > 1:
+                # mixture: per-species dead-slot headroom
+                extra = {mt: max(int(len(ids) * (uvt_capacity_factor - 1.0)),
+                                 32)
+                         for mt, ids in mov_by_species.items()}
+            else:
+                n_mov = len({a.molecule_id for a in atoms if not a.frozen})
+                extra = max(int(n_mov * (uvt_capacity_factor - 1.0)), 32)
 
         self.state, self.meta = build_state(
             atoms, basis, extra_mol_capacity=extra)
@@ -106,6 +117,31 @@ class Simulation:
             flags0.rd_anharmonic)
 
         fug = cfg.fugacities[0] if cfg.fugacities else cfg.pressure
+
+        # multi-sorbate mixtures: uniform-species insertion with
+        # per-species fugacities (fugacities[sorbateInsert],
+        # src/System.MonteCarlo.cpp:1362-1367; sorbate order = order of
+        # first appearance, count_sorbates src/System.cpp:1555)
+        mt_arr = np.asarray(self.state.mol_type)
+        mov_mask = (np.asarray(self.state.mol_alive) &
+                    ~np.asarray(self.state.mol_frozen) &
+                    ~np.asarray(self.state.mol_adiabatic) &
+                    ~np.asarray(self.state.mol_target))
+        sorb_types = sorted(set(mt_arr[mov_mask].tolist()))
+        sorbate_count = max(len(sorb_types), 1)
+        insert_species: tuple = ()
+        type_fugacities: tuple = ()
+        if sorbate_count > 1:
+            insert_species = tuple(int(t) for t in sorb_types)
+            tf = [0.0] * len(self.meta["species"])
+            for i, t in enumerate(sorb_types):
+                if cfg.user_fugacities and \
+                        len(cfg.fugacities) >= sorbate_count:
+                    tf[t] = cfg.fugacities[i]
+                else:
+                    tf[t] = fug
+            type_fugacities = tuple(tf)
+
         self.opts = chain_mod.MCOptions(
             ensemble=cfg.ensemble,
             move_factor=cfg.move_factor,
@@ -116,7 +152,9 @@ class Simulation:
             volume_probability=cfg.volume_probability,
             volume_change_factor=cfg.volume_change_factor,
             fugacity=fug,
-            sorbate_count=1,
+            sorbate_count=sorbate_count,
+            insert_species=insert_species,
+            type_fugacities=type_fugacities,
             quantum_rotation=cfg.quantum_rotation,
             simulated_annealing=cfg.simulated_annealing,
             simulated_annealing_linear=cfg.simulated_annealing_linear,

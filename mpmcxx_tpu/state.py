@@ -184,9 +184,11 @@ def build_state(atoms: list[AtomRecord],
     """Assemble a SystemState from parsed atom records.
 
     ``extra_mol_capacity`` > 0 reserves dead copies of the (single) sorbate
-    template for uVT insertion headroom.  Returns (state, meta) where meta
-    maps species names to indices and keeps per-slot atomtype strings for
-    output writers.
+    template for uVT insertion headroom; a dict ``{moleculetype: count}``
+    reserves per-species capacity (multi-sorbate mixtures insert into
+    species-matched dead slots, mc.moves.find_dead_slot).  Returns
+    (state, meta) where meta maps species names to indices and keeps
+    per-slot atomtype strings for output writers.
     """
     atoms = list(atoms)
     if not atoms:
@@ -213,17 +215,26 @@ def build_state(atoms: list[AtomRecord],
                 species[t] = len(species)
 
     # insertion headroom: replicate the last movable (non-frozen) molecule
-    template = None
-    if extra_mol_capacity > 0:
+    # of each requested species
+    extra: list[list[AtomRecord]] = []
+    if isinstance(extra_mol_capacity, dict):
+        for mt, count in extra_mol_capacity.items():
+            cand = [m for m in mols
+                    if not m[0].frozen and m[0].moleculetype == mt]
+            if not cand:
+                raise ValueError(
+                    f"no movable {mt} molecule to use as insertion template")
+            extra.extend([cand[-1]] * count)
+    elif extra_mol_capacity > 0:
         cand = [m for m in mols
                 if not m[0].frozen and
                 (template_moleculetype is None or
                  m[0].moleculetype == template_moleculetype)]
         if not cand:
             raise ValueError("no movable molecule to use as insertion template")
-        template = cand[-1]
+        extra = [cand[-1]] * extra_mol_capacity
 
-    all_mols = mols + [template] * extra_mol_capacity
+    all_mols = mols + extra
     n_live = len(mols)
 
     A = sum(len(m) for m in all_mols)

@@ -179,14 +179,33 @@ class TestWarmStart:
             float(eb_cold.polarization_iterations)
         assert float(eb_warm.polarization_iterations) >= 1.0
 
-    def test_warm_start_ignored_with_fixed_iterations(self):
-        # precision==0 (fixed iteration count) must keep the reference's
-        # cold alpha*E start even when the flag is on
+    def test_warm_start_fixed_iterations_closer_to_converged(self):
+        # precision==0 (fixed iteration count): warm start from converged
+        # dipoles must land at least as close to the true fixed point as
+        # the reference's cold alpha*E start with the same count
         state, _ = polar_system()
+        params = dataclasses.replace(PARAMS, polar_precision=1e-12)
+        truth = energy_breakdown_blocked(
+            state, FLAGS.replace(polar_max_iter=0), params, block=16)
+        st = state.replace(mu=truth.mu)
         warm = FLAGS.replace(polar_warm_start=True)
+        for k in (2, 4):
+            fl_cold = FLAGS.replace(polar_max_iter=k)
+            fl_warm = warm.replace(polar_max_iter=k)
+            e_cold = float(energy_breakdown_blocked(
+                st, fl_cold, PARAMS, block=16).polarization)
+            e_warm = float(energy_breakdown_blocked(
+                st, fl_warm, PARAMS, block=16).polarization)
+            e_true = float(truth.polarization)
+            assert abs(e_warm - e_true) <= abs(e_cold - e_true) + 1e-12
+
+    def test_warm_start_off_keeps_cold_contract(self):
+        # default flags must keep the reference's cold alpha*E start even
+        # with stale dipoles on the state (the fidelity contract)
+        state, _ = polar_system()
         st = state.replace(mu=jnp.ones_like(state.mu))
-        a = energy_breakdown_blocked(st, FLAGS, PARAMS, block=16)
-        b = energy_breakdown_blocked(st, warm, PARAMS, block=16)
+        a = energy_breakdown_blocked(state, FLAGS, PARAMS, block=16)
+        b = energy_breakdown_blocked(st, FLAGS, PARAMS, block=16)
         assert float(a.polarization) == float(b.polarization)
 
 

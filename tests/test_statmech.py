@@ -207,3 +207,81 @@ class TestMicrocanonicalNVE:
         acc = np.asarray(carry.stats.accept).sum()
         rej = np.asarray(carry.stats.reject).sum()
         assert acc / (acc + rej) > 0.97
+
+
+class TestIdealGasMixtureUVT:
+    def test_two_species_occupancies_and_selectivity(self):
+        # 2-species ideal-gas GCMC with per-species fugacities: uniform
+        # species insertion (the insertion-list semantics the reference's
+        # x sorbateCount factor assumes, src/System.MonteCarlo.cpp:413-421
+        # + :1362-1367) gives exact Poisson marginals
+        # <N_i> = f_i*ATM2REDUCED*V/T; selectivity N_1/N_2 = f_1/f_2.
+        L, T = 10.0, 100.0
+        f1, f2 = 109.0, 54.5          # c1 = 8.0, c2 = 4.0
+        c1 = f1 * const.ATM2REDUCED * L ** 3 / T
+        c2 = f2 * const.ATM2REDUCED * L ** 3 / T
+        rng = np.random.default_rng(0)
+        atoms = []
+        mid = 0
+        for sp, (at, mt, mass) in enumerate((("Aa", "AAA", 10.0),
+                                             ("Bb", "BBB", 30.0))):
+            for _ in range(4):
+                mid += 1
+                x, y, z = rng.uniform(-L / 2, L / 2, 3)
+                atoms.append(AtomRecord(at, mt, mid, x=x, y=y, z=z,
+                                        mass=mass, epsilon=0.0, sigma=0.0))
+        from mpmcxx_tpu.state import build_state as _bs
+        state, meta = _bs(atoms, np.eye(3) * L,
+                          extra_mol_capacity={"AAA": 40, "BBB": 40})
+        flags = FFlags(rd_lrc=False)
+        params = RunParams(temperature=T)
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_UVT, move_factor=0.2,
+            insert_probability=0.6, fugacity=f1, sorbate_count=2,
+            insert_species=(int(meta["species"]["AAA"]),
+                            int(meta["species"]["BBB"])),
+            type_fugacities=(f1, f2),
+            numsteps=100000, incremental=True, max_mol_atoms=1)
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=17)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 16)
+
+        from mpmcxx_tpu.mc.sorbate import SorbateTracker
+        mt_arr = np.asarray(state.mol_type)
+        mmass = np.asarray(state.mol_mass)
+        mov = ~np.asarray(state.mol_frozen)
+        tracker = SorbateTracker(meta["species"], mt_arr, mmass, mov)
+        assert tracker.count == 2
+
+        NA, NB = [], []
+        for i in range(750):
+            carry, _ = runner(carry)
+            alive = np.asarray(carry.state.mol_alive)
+            nA = int((alive & (mt_arr == opts.insert_species[0])).sum())
+            nB = int((alive & (mt_arr == opts.insert_species[1])).sum())
+            NA.append(nA)
+            NB.append(nB)
+            if i >= 100 and i % 4 == 0:
+                tracker.update(alive, volume=L ** 3, frozen_mass=0.0,
+                               total_mass=float(carry.obs.total_mass),
+                               free_volume=0.0, pressure_or_fugacity=f1,
+                               temperature=T)
+        mean_A = np.mean(NA[150:])
+        mean_B = np.mean(NB[150:])
+        assert mean_A == pytest.approx(c1, abs=0.6), (mean_A, c1)
+        assert mean_B == pytest.approx(c2, abs=0.5), (mean_B, c2)
+        # species cannot die out permanently: both fluctuate
+        assert np.std(NA) > 0.8 and np.std(NB) > 0.8
+
+        # selectivity block math: N_A / N_B ~ f1/f2 = 2, with propagated
+        # error consistent with the avgN errors
+        stA = tracker.stats[0]
+        sel = stA.selectivity
+        assert sel == pytest.approx(c1 / c2, rel=0.15), sel
+        # hand-check the error propagation formula
+        stB = tracker.stats[1]
+        rel = (stA.err["avgN"] / stA.mean["avgN"]) ** 2 + \
+            (stB.err["avgN"] / stB.mean["avgN"]) ** 2
+        assert stA.selectivity_err == pytest.approx(
+            sel * np.sqrt(rel), rel=1e-9)
+        # avgN tracked means agree with the direct tally
+        assert stA.mean["avgN"] == pytest.approx(mean_A, abs=0.6)

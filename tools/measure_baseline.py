@@ -40,7 +40,7 @@ def write_input(d: str, nsteps: int):
 ensemble pi_nvt
 temperature {flagship.TEMPERATURE}
 numsteps {nsteps}
-corrtime {nsteps}
+corrtime 1
 seed 1
 move_factor {flagship.MOVE_FACTOR}
 bead_perturb_probability 0.0
@@ -106,6 +106,50 @@ def singlepoint_fixture(workdir: str, nsteps: int, model: str):
     print(f"single-point fixture -> {out}: {fix['expected']}", flush=True)
 
 
+def rowtime_run(workdir: str, nsteps: int, P: int, model: str) -> float:
+    """Single run; per-step cost from energy.dat row-arrival timestamps
+    (one setup instead of two — the reference's A/B-matrix allocation at
+    10k atoms costs upward of an hour on this 1-core host).  Returns the
+    fastest uncontended per-step wall time."""
+    d = os.path.join(workdir, f"{model}-rowtime")
+    os.makedirs(d, exist_ok=True)
+    writer = flagship.write_pqr if model == "ar" else flagship.write_pqr_co2
+    writer(os.path.join(d, "base.pqr"))
+    for s in range(P):
+        shutil.copy(os.path.join(d, "base.pqr"),
+                    os.path.join(d, f"flag.restart-{s:04d}.pqr"))
+    write_input(d, nsteps)
+    dat = os.path.join(d, "flag.energy.dat")
+    if os.path.exists(dat):
+        os.unlink(dat)
+    proc = subprocess.Popen([REF_BINARY, "-P", str(P), "run.in"], cwd=d,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    stamps = {}
+    t0 = time.time()
+    while True:
+        rows = 0
+        if os.path.exists(dat):
+            with open(dat) as f:
+                rows = max(len(f.read().splitlines()) - 1, 0)
+        if rows and rows not in stamps:
+            stamps[rows] = time.time()
+            print(f"[rowtime] row {rows} at +{stamps[rows] - t0:.0f}s",
+                  flush=True)
+        if proc.poll() is not None or rows > nsteps:
+            break
+        time.sleep(5)
+    proc.wait(timeout=600) if proc.poll() is None else None
+    keys = sorted(stamps)
+    diffs = [stamps[b] - stamps[a] for a, b in zip(keys, keys[1:])]
+    if not diffs:
+        raise RuntimeError(f"not enough energy.dat rows: {stamps}")
+    per_step = min(diffs)
+    print(f"[rowtime] per-step diffs: {[round(x, 1) for x in diffs]}",
+          flush=True)
+    return per_step
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-a", type=int, default=1)
@@ -113,15 +157,29 @@ def main():
     ap.add_argument("-P", type=int, default=4)
     ap.add_argument("--workdir", default=os.path.join(REPO, ".bench_ref"))
     ap.add_argument("--model", choices=("ar", "co2"), default="ar")
+    ap.add_argument("--rowtime", action="store_true",
+                    help="single run, per-step from row timestamps")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    wa = timed_run(args.workdir, args.steps_a, args.P, args.model)
-    wb = timed_run(args.workdir, args.steps_b, args.P, args.model)
-    singlepoint_fixture(args.workdir, args.steps_a, args.model)
-    if wb <= wa:
-        raise RuntimeError(f"no measurable step cost: {wa:.1f}s vs {wb:.1f}s")
-    per_step = (wb - wa) / (args.steps_b - args.steps_a)
+    if args.rowtime:
+        per_step = rowtime_run(args.workdir, args.steps_b, args.P,
+                               args.model)
+        d = os.path.join(args.workdir, f"{args.model}-rowtime")
+        # reuse the run's row 0 as the single-point fixture
+        dst = os.path.join(args.workdir, f"{args.model}-n{args.steps_a}")
+        os.makedirs(dst, exist_ok=True)
+        shutil.copy(os.path.join(d, "flag.energy.dat"),
+                    os.path.join(dst, "flag.energy.dat"))
+        singlepoint_fixture(args.workdir, args.steps_a, args.model)
+    else:
+        wa = timed_run(args.workdir, args.steps_a, args.P, args.model)
+        wb = timed_run(args.workdir, args.steps_b, args.P, args.model)
+        singlepoint_fixture(args.workdir, args.steps_a, args.model)
+        if wb <= wa:
+            raise RuntimeError(
+                f"no measurable step cost: {wa:.1f}s vs {wb:.1f}s")
+        per_step = (wb - wa) / (args.steps_b - args.steps_a)
     rate = args.P / per_step          # one move == one bead energy()
     print(f"per PI step (= {args.P} full energies): {per_step:.2f}s "
           f"-> reference {rate:.5f} moves/sec", flush=True)
@@ -140,8 +198,10 @@ def main():
         prefix + "measured_on":
             f"{os.uname().machine}, "
             f"{os.cpu_count()} visible core(s), pi_nvt "
-            f"P={args.P} differenced "
-            f"{args.steps_a}->{args.steps_b} steps",
+            f"P={args.P} displace-only on the identical configuration; "
+            + ("per-step from energy.dat row-arrival timestamps, fastest "
+               "uncontended step" if args.rowtime else
+               f"differenced {args.steps_a}->{args.steps_b} steps"),
     })
     with open(CACHE, "w") as f:
         json.dump(cache, f, indent=1)
