@@ -237,21 +237,26 @@ def spectre_displace(state: SystemState, key, mol, move_factor,
     """SPECTRE move: random translation + charge perturbation +
     renormalisation (src/System.MonteCarlo.cpp:1152-1221).
 
-    The reference redraws each charge delta until |q+dq| <= max_charge; here
-    the delta is clipped into the allowed interval (equivalent support,
-    different sampling density at the boundary - documented deviation).
+    The reference redraws each charge delta from U[-1,1] until
+    |q + dq| <= max_charge (the do/while at :1174-1176) — i.e. the
+    accepted delta is uniform on [-1,1] ∩ [-max_charge-q, max_charge-q].
+    We sample that conditional uniform directly in closed form: the
+    per-move distribution is *identical* to the reference's rejection
+    sampler (tests/test_mc.py::TestSpectreChargeLaw checks this against
+    a literal numpy mirror of the C++ loop).
     """
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2 = jax.random.split(key, 2)
     dice = jax.random.uniform(k1, (6,))
     trans = move_factor * dice[:3] * max_target
     trans = jnp.where(dice[3:] < 0.5, -trans, trans)
     sel = _atoms_of(state, mol)
     pos = state.pos + jnp.where(sel[:, None], trans[None, :], 0.0)
 
-    dq = jax.random.uniform(k2, (state.n_atom_slots,)) * \
-        jnp.where(jax.random.uniform(k3, (state.n_atom_slots,)) < 0.5, -1.0, 1.0)
+    lo = jnp.maximum(-1.0, -max_charge - state.charge)
+    hi = jnp.minimum(1.0, max_charge - state.charge)
+    u = jax.random.uniform(k2, (state.n_atom_slots,))
+    dq = lo + u * (hi - lo)
     q = state.charge + jnp.where(sel & state.spectre, dq, 0.0)
-    q = jnp.clip(q, -max_charge, max_charge)
     charge = spectre_renormalize(state, q)
     return state.replace(pos=pos, charge=charge)
 

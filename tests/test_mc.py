@@ -346,3 +346,51 @@ basis3 0 0 12
             assert kinetic == pytest.approx(900.0 - energy, abs=1e-4)
         # the chain moved (energies change across corrtimes)
         assert len({r[1] for r in rows}) > 1
+
+
+class TestSpectreChargeLaw:
+    def test_matches_reference_rejection_sampler(self):
+        """The SPECTRE charge delta must follow the reference's
+        rejection-sampled law (redraw U[-1,1] until |q+dq| <= max_charge,
+        src/System.MonteCarlo.cpp:1174-1176) — checked sample-vs-sample
+        against a literal numpy mirror of the C++ do/while, through the
+        full move (translation + perturbation + renormalization)."""
+        from scipy import stats as sps
+
+        from mpmcxx_tpu.mc import moves
+
+        max_charge, max_target = 1.25, 5.0
+        q0 = np.array([1.1, -0.9])        # near the domain edges
+        atoms = [AtomRecord("S1", "SPC", 1, x=0.0, charge=q0[0], mass=1.0,
+                            spectre=True),
+                 AtomRecord("S2", "SPC", 1, x=1.0, charge=q0[1], mass=1.0,
+                            spectre=True)]
+        state, _ = build_state(atoms, np.eye(3) * 20.0)
+
+        n = 4000
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        charges = jax.vmap(
+            lambda k: moves.spectre_displace(
+                state, k, 0, 0.2, max_charge, max_target).charge)(keys)
+        ours = np.asarray(charges)          # [n, 2]
+
+        # literal mirror of the reference loop + renormalization
+        rng = np.random.default_rng(1)
+        ref = np.empty((n, 2))
+        for i in range(n):
+            q = q0.copy()
+            for a in range(2):
+                while True:
+                    dq = rng.random()
+                    if rng.random() < 0.5:
+                        dq = -dq
+                    if abs(q[a] + dq) <= max_charge:
+                        break
+                q[a] += dq
+            q -= q.sum() / 2.0              # renormalize to neutrality
+            ref[i] = q
+        for a in range(2):
+            ks = sps.ks_2samp(ours[:, a], ref[:, a])
+            assert ks.pvalue > 1e-3, (a, ks)
+        # neutrality after renormalization
+        np.testing.assert_allclose(ours.sum(axis=1), 0.0, atol=1e-12)
