@@ -58,8 +58,12 @@ def _atoms_of(state: SystemState, mol):
 
 def displace_rows(state: SystemState, key, rows, row_mask, move_factor,
                   rot_factor) -> SystemState:
-    """Topology-gather displace: O(S) gather/rotate/scatter on one
-    molecule's atom rows instead of O(A) masked updates."""
+    """Topology-window displace: O(S) slice/rotate/write on one molecule's
+    contiguous atom rows instead of O(A) masked updates (single
+    dynamic_slice/dynamic_update_slice — dynamic gathers/scatters lower to
+    serial while loops on TPU at ~60 us apiece)."""
+    from ..ops.pairwise import normalize_window, slice_rows, update_rows
+
     k1, k2, k3 = jax.random.split(key, 3)
     dice = jax.random.uniform(k1, (6,))
     trans = move_factor * dice[:3] * state.pbc.cutoff
@@ -69,30 +73,34 @@ def displace_rows(state: SystemState, key, rows, row_mask, move_factor,
     angle_deg = jax.random.uniform(k3) * 360.0 * rot_factor
     q = quat.from_axis_angle_deg(axis, angle_deg)
 
-    safe = jnp.clip(rows, 0, state.n_atom_slots - 1)
-    pos_r = state.pos[safe]                              # [S,3]
-    w = jnp.where(row_mask, state.mass[safe], 0.0)
+    S = rows.shape[0]
+    start, _, mask_w = normalize_window(
+        jnp.where(row_mask, rows, -1), state.n_atom_slots)
+    pos_r = slice_rows(state.pos, start, S)              # [S,3]
+    w = jnp.where(mask_w, slice_rows(state.mass, start, S), 0.0)
     wsum = jnp.maximum(jnp.sum(w), 1e-300)
     com = jnp.sum(w[:, None] * pos_r, axis=0) / wsum
     new = quat.rotate(q, pos_r - com) + com + trans
-    # drop-mode scatter: a clipped padding index (-1 -> 0) colliding with a
-    # genuine row 0 would otherwise race old-vs-new writes (molecule that
-    # owns atom slot 0 and is shorter than max_mol_atoms)
-    idx = jnp.where(row_mask, safe, state.n_atom_slots)
-    return state.replace(pos=state.pos.at[idx].set(new, mode="drop"))
+    return state.replace(pos=update_rows(state.pos, start, new, mask_w))
 
 
 def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
                 slot, valid, com=None):
-    """Topology-gather insertion (cf. insert())."""
+    """Topology-window insertion (cf. insert()): contiguous-row slices +
+    in-place block writes instead of gather/scatter."""
+    from ..ops.pairwise import normalize_window, slice_rows, update_rows
+
     k_pos, k_axis, k_ang = jax.random.split(key, 3)
     A = state.n_atom_slots
-    t_safe = jnp.clip(tmpl_rows, 0, A - 1)
-    s_safe = jnp.clip(slot_rows, 0, A - 1)
+    S = tmpl_rows.shape[0]
+    t_start, _, t_mask = normalize_window(
+        jnp.where(row_mask, tmpl_rows, -1), A)
+    s_start, _, s_mask = normalize_window(
+        jnp.where(row_mask, slot_rows, -1), A)
 
     new_com = random_cell_position(state, k_pos) if com is None else com
-    tmpl_pos = state.pos[t_safe]
-    w = jnp.where(row_mask, state.mass[t_safe], 0.0)
+    tmpl_pos = slice_rows(state.pos, t_start, S)
+    w = jnp.where(t_mask, slice_rows(state.mass, t_start, S), 0.0)
     wsum = jnp.maximum(jnp.sum(w), 1e-300)
     tmpl_com = jnp.sum(w[:, None] * tmpl_pos, axis=0) / wsum
 
@@ -100,17 +108,22 @@ def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
     angle_deg = jax.random.uniform(k_ang) * 360.0
     q = quat.from_axis_angle_deg(axis, angle_deg)
     newpos = quat.rotate(q, tmpl_pos - tmpl_com) + new_com
-    s_idx = jnp.where(row_mask & valid, s_safe, A)
-    pos = state.pos.at[s_idx].set(newpos, mode="drop")
+    # template/slot windows can clip with different leading offsets at the
+    # array tail (short molecules); realign window row k -> k
+    t_off = jnp.clip(tmpl_rows[0], 0, A - 1).astype(jnp.int32) - t_start
+    s_off = jnp.clip(slot_rows[0], 0, A - 1).astype(jnp.int32) - s_start
+    newpos = jnp.roll(newpos, s_off - t_off, axis=0)
+    pos = update_rows(state.pos, s_start, newpos, s_mask & valid)
+
     slot_c = jnp.maximum(slot, 0)
-    alive = state.mol_alive.at[slot_c].set(
-        jnp.where(valid, True, state.mol_alive[slot_c]))
+    alive = update_rows(state.mol_alive, slot_c,
+                        jnp.where(valid, True, state.mol_alive[slot_c])[None])
     # the inserted copy inherits the template's nuclear spin (the reference
     # deep-copies the whole molecule, src/System.MonteCarlo.cpp:502)
     tmpl_mol = state.mol_id[jnp.clip(tmpl_rows[0], 0, A - 1)]
-    spin = state.nuclear_spin.at[slot_c].set(
-        jnp.where(valid, state.nuclear_spin[tmpl_mol],
-                  state.nuclear_spin[slot_c]))
+    spin = update_rows(state.nuclear_spin, slot_c,
+                       jnp.where(valid, state.nuclear_spin[tmpl_mol],
+                                 state.nuclear_spin[slot_c])[None])
     return state.replace(pos=pos, mol_alive=alive, nuclear_spin=spin), valid
 
 
@@ -147,10 +160,12 @@ def displace_1d(state: SystemState, key, mol, move_factor) -> SystemState:
 
 def spinflip(state: SystemState, mol) -> SystemState:
     """(src/System.MonteCarlo.cpp:883-891)"""
+    from ..ops.pairwise import update_rows
     cur = state.nuclear_spin[mol]
     new = jnp.where(cur == const.NUCLEAR_SPIN_PARA,
                     const.NUCLEAR_SPIN_ORTHO, const.NUCLEAR_SPIN_PARA)
-    return state.replace(nuclear_spin=state.nuclear_spin.at[mol].set(new))
+    return state.replace(nuclear_spin=update_rows(
+        state.nuclear_spin, jnp.asarray(mol, jnp.int32), new[None]))
 
 
 def random_cell_position(state: SystemState, key):
@@ -215,7 +230,10 @@ def find_dead_slot(state: SystemState, species):
 
 def remove(state: SystemState, mol) -> SystemState:
     """(src/System.MonteCarlo.cpp:836-859)"""
-    return state.replace(mol_alive=state.mol_alive.at[mol].set(False))
+    from ..ops.pairwise import update_rows
+    return state.replace(mol_alive=update_rows(
+        state.mol_alive, jnp.asarray(mol, jnp.int32),
+        jnp.zeros(1, dtype=bool)))
 
 
 def volume_change(state: SystemState, key, volume_change_factor

@@ -26,7 +26,7 @@ from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
 from . import ewald, pair_potentials
-from .pairwise import build_pairs_rect
+from .pairwise import build_pairs_rect, normalize_window, slice_rows
 
 
 class SFCache(NamedTuple):
@@ -69,11 +69,14 @@ def sf_shift(state: SystemState, flags: FFlags, rows, sign: float
     """Contribution of ``rows`` atoms to the structure factor (0 where the
     row is padding, dead, or frozen)."""
     A = state.n_atom_slots
-    safe = jnp.clip(rows, 0, A - 1)
-    valid = (rows >= 0) & state.atom_alive()[safe] & ~state.frozen[safe]
-    q = jnp.where(valid, state.charge[safe], 0.0)
+    S = rows.shape[0]
+    start, _, valid = normalize_window(rows, A)
+    alive_r = slice_rows(state.atom_alive(), start, S)
+    frozen_r = slice_rows(state.frozen, start, S)
+    valid = valid & alive_r & ~frozen_r
+    q = jnp.where(valid, slice_rows(state.charge, start, S), 0.0)
     k, _ = ewald.kvectors(state, flags.ewald_kmax)
-    phase = state.pos[safe] @ k.T               # [S,K]
+    phase = slice_rows(state.pos, start, S) @ k.T     # [S,K]
     return SFCache(re=sign * (q @ jnp.cos(phase)),
                    im=sign * (q @ jnp.sin(phase)))
 

@@ -35,7 +35,15 @@ from ..state import SystemState
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PairTensors:
-    """Pair quantities; leading dim is A (dense) or S (rect rows)."""
+    """Pair quantities; leading dim is A (dense) or S (rect rows).
+
+    Row sets are CONTIGUOUS windows: every valid entry satisfies
+    rows[k] == start + k (chain/PI topology gathers, window-normalised
+    cache rows, sharded row slices and blocked tiles all guarantee this).
+    Row reads are therefore single ``dynamic_slice`` ops — a dynamic
+    gather of the same rows lowers to a serial while loop per gather on
+    TPU, at ~60 us of loop overhead each (profiled r3: ~190 such loops
+    cost 12 ms/move on the multi-site flagship)."""
 
     dimg: jnp.ndarray         # [R,A,3] minimum-image displacement r_i - r_j
     rimg: jnp.ndarray         # [R,A] minimum-image distance
@@ -54,12 +62,98 @@ class PairTensors:
     c8: jnp.ndarray
     c10: jnp.ndarray
     rows: Optional[jnp.ndarray] = None  # [R] atom indices (rect) or None
+    row_start: Optional[jnp.ndarray] = None  # window start (contiguous rows)
 
     def row(self, arr):
-        """Gather a per-atom array onto the row axis."""
+        """Slice a per-atom array onto the row axis."""
         if self.rows is None:
             return arr
+        if self.row_start is not None:
+            return slice_rows(arr, self.row_start, self.rows.shape[0])
         return arr[jnp.clip(self.rows, 0, arr.shape[0] - 1)]
+
+
+def window_start(rows, A: int):
+    """Start of the contiguous row window: rows[k] == start + k for every
+    valid (>= 0) entry; clipped so the window stays in bounds."""
+    S = rows.shape[0]
+    off = jnp.arange(S, dtype=jnp.int32)
+    start = jnp.max(jnp.where(rows >= 0, rows.astype(jnp.int32) - off, -1))
+    return jnp.clip(start, 0, max(A - S, 0))
+
+
+def normalize_window(rows, A: int):
+    """Re-index a contiguous-run row set into its clipped S-window:
+    returns ``(start, rows_w, valid_w)`` with rows_w[k] == start + k and
+    valid_w marking which window rows are real moved rows.  When the
+    natural window would overrun the array end the clip shifts it down;
+    the validity run shifts with it.  Idempotent (valid entries may sit
+    at any contiguous run inside ``rows``)."""
+    S = rows.shape[0]
+    start = window_start(rows, A)
+    if S == 1:
+        return start, rows, rows >= 0
+    arange = jnp.arange(S, dtype=jnp.int32)
+    first_valid = jnp.min(jnp.where(rows >= 0, rows.astype(jnp.int32), A))
+    nvalid = jnp.sum(rows >= 0).astype(jnp.int32)
+    offset = first_valid - start
+    valid_w = (arange >= offset) & (arange < offset + nvalid)
+    return start, jnp.where(valid_w, start + arange, -1), valid_w
+
+
+def tile_starts(A: int, block: int):
+    """Static tile starts covering [0,A) with fully in-bounds windows;
+    the last tile shifts down to end exactly at A (its overlap rows
+    recompute identical data).  Use with ``assemble_tiles`` for scans
+    that WRITE per-row tensors — a -1-padded tail tile would have its
+    window shifted by the row normalisation and break positional
+    reassembly.  (Scans that only SUM over pair_once keep -1 padding:
+    overlapping windows would double-count pairs.)"""
+    nb = -(-A // block)
+    return [min(b * block, max(A - block, 0)) for b in range(nb)]
+
+
+def assemble_tiles(tiles, A: int, block: int):
+    """[nb, block, ...] tile stack -> [A, ...] honoring tile_starts."""
+    nb = tiles.shape[0]
+    flat = (nb * block,) + tiles.shape[2:]
+    if nb * block == A:
+        return tiles.reshape(flat)
+    if A <= block:
+        return tiles.reshape(flat)[:A]
+    head = tiles[:-1].reshape(((nb - 1) * block,) + tiles.shape[2:])
+    tail = tiles[-1][block - (A - (nb - 1) * block):]
+    return jnp.concatenate([head, tail], axis=0)
+
+
+def slice_rows(arr, start, S: int):
+    """Contiguous S-row slice along axis 0 via one dynamic_slice.
+
+    Falls back to a clip-gather when the window is wider than the array
+    (block tiles on systems smaller than the block size)."""
+    start = start.astype(jnp.int32)
+    if S > arr.shape[0]:
+        return arr[jnp.clip(start + jnp.arange(S), 0, arr.shape[0] - 1)]
+    starts = (start,) + (start * 0,) * (arr.ndim - 1)
+    return jax.lax.dynamic_slice(arr, starts, (S,) + arr.shape[1:])
+
+
+def update_rows(arr, start, block, valid=None):
+    """Write a contiguous row block in place (dynamic_update_slice);
+    ``valid`` masks rows that must keep their current contents."""
+    start = start.astype(jnp.int32)
+    S = block.shape[0]
+    if valid is not None:
+        cur = slice_rows(arr, start, S)
+        vm = valid.reshape((S,) + (1,) * (arr.ndim - 1))
+        block = jnp.where(vm, block, cur)
+    if S > arr.shape[0]:
+        idx = jnp.clip(start + jnp.arange(S), 0, arr.shape[0] - 1)
+        sel = (start + jnp.arange(S)) < arr.shape[0]
+        return arr.at[jnp.where(sel, idx, arr.shape[0])].set(
+            block.astype(arr.dtype), mode="drop")
+    starts = (start,) + (start * 0,) * (arr.ndim - 1)
+    return jax.lax.dynamic_update_slice(arr, block.astype(arr.dtype), starts)
 
 
 def mix_lj(flags: FFlags, eps_i, eps_j, sig_i, sig_j, w_i, w_j, a_i, a_j,
@@ -172,11 +266,20 @@ def _build(state: SystemState, flags: FFlags, rows,
         g = lambda arr: arr
         pos_r = state.pos
         row_valid = jnp.ones(A, dtype=bool)
+        row_start = None
     else:
-        safe = jnp.clip(rows, 0, A - 1)
-        g = lambda arr: arr[safe]
-        pos_r = state.pos[safe]
-        row_valid = rows >= 0
+        S = rows.shape[0]
+        if S > A:
+            # window wider than the array: legacy clip-gather semantics
+            safe_g = jnp.clip(rows, 0, A - 1)
+            g = lambda arr: arr[safe_g]
+            pos_r = g(state.pos)
+            row_valid = rows >= 0
+            row_start = None
+        else:
+            row_start, rows, row_valid = normalize_window(rows, A)
+            g = lambda arr: slice_rows(arr, row_start, S)
+            pos_r = g(state.pos)
 
     d = pos_r[:, None, :] - state.pos[None, :, :]
     dimg, rimg = minimum_image_disp(d, state.pbc.basis, state.pbc.reciprocal)
@@ -244,7 +347,7 @@ def _build(state: SystemState, flags: FFlags, rows,
         rd_excluded=rd_excluded, es_excluded=es_excluded,
         sigma=sigma, epsilon=epsilon, attractive_only=attractive_only,
         sigrep=sigrep, c6=c6m, c8=c8m, c10=c10m,
-        rows=rows)
+        rows=rows, row_start=row_start)
 
 
 def build_pairs(state: SystemState, flags: FFlags) -> PairTensors:

@@ -484,13 +484,17 @@ def ewald_full(state: SystemState, pt: PairTensors, flags: FFlags,
 def thole_field_blocked(state: SystemState, flags: FFlags,
                         params: RunParams, block: int = 128):
     """Static field without [A,A] tensors: scan rect row blocks."""
-    from .pairwise import build_pairs_rect
+    from .pairwise import assemble_tiles, build_pairs_rect, tile_starts
     A = state.n_atom_slots
     nb = -(-A // block)
+    starts = jnp.asarray(tile_starts(A, block))
 
     def body(_, b):
-        rows_f = b * block + jnp.arange(block)
-        rows = jnp.where(rows_f < A, rows_f, -1)
+        if A <= block:
+            rows_f = jnp.arange(block)
+            rows = jnp.where(rows_f < A, rows_f, -1)
+        else:
+            rows = starts[b] + jnp.arange(block)
         pt = build_pairs_rect(state, flags, rows)
         if flags.polar_ewald:
             e = real_term(state, pt, params)
@@ -501,7 +505,7 @@ def thole_field_blocked(state: SystemState, flags: FFlags,
         return None, e
 
     _, tiles = jax.lax.scan(body, None, jnp.arange(nb))
-    E = tiles.reshape(nb * block, 3)[:A]
+    E = assemble_tiles(tiles, A, block)
     if flags.polar_ewald:
         E = E + recip_term(state, flags, params)
     return jnp.where(state.atom_alive()[:, None], E, 0.0)
@@ -541,14 +545,18 @@ def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
     Expands T mu algebraically (T_ij mu_j = -3 d (d.mu) damp2/r^5
     + damp1 mu/r^3 [+ wolf-full corrections]) so only [B,A]-shaped
     scalars are live — no [A,A,3,3] A-matrix, no [B,A,3,3] tiles."""
-    from .pairwise import build_pairs_rect
+    from .pairwise import assemble_tiles, build_pairs_rect, tile_starts
     A = state.n_atom_slots
     nb = -(-A // block)
     rcut = state.pbc.cutoff
+    starts = jnp.asarray(tile_starts(A, block))
 
     def body(_, b):
-        rows_f = b * block + jnp.arange(block)
-        rows = jnp.where(rows_f < A, rows_f, -1)
+        if A <= block:
+            rows_f = jnp.arange(block)
+            rows = jnp.where(rows_f < A, rows_f, -1)
+        else:
+            rows = starts[b] + jnp.arange(block)
         pt = build_pairs_rect(state, flags, rows)
         r = pt.rimg
         r_safe = jnp.where(r == 0.0, 1.0, r)
@@ -571,7 +579,7 @@ def contract_blocked(state: SystemState, flags: FFlags, params: RunParams,
         return None, ef
 
     _, tiles = jax.lax.scan(body, None, jnp.arange(nb))
-    return tiles.reshape(nb * block, 3)[:A]
+    return assemble_tiles(tiles, A, block)
 
 
 def mixed_coeff_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
@@ -615,13 +623,17 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
     ~1e-6 relative — far below thermal noise, but not bit-identical to the
     f64 path, hence the opt-in ``FFlags.polar_mixed``.
     """
-    from .pairwise import build_pairs_rect
+    from .pairwise import assemble_tiles, build_pairs_rect, tile_starts
     A = state.n_atom_slots
     nb = -(-A // block)
+    starts = jnp.asarray(tile_starts(A, block))
 
     def body(_, b):
-        rows_f = b * block + jnp.arange(block)
-        rows = jnp.where(rows_f < A, rows_f, -1)
+        if A <= block:
+            rows_f = jnp.arange(block)
+            rows = jnp.where(rows_f < A, rows_f, -1)
+        else:
+            rows = starts[b] + jnp.arange(block)
         pt = build_pairs_rect(state, flags, rows)
         c_outer, c_diag = mixed_coeff_scalars(state, pt, flags, params)
         if flags.polar_ewald:
@@ -635,12 +647,12 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
                       d32[..., 2], e)
 
     _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
-    co = co.reshape(nb * block, A)[:A]
-    cd = cd.reshape(nb * block, A)[:A]
-    dx = dx.reshape(nb * block, A)[:A]
-    dy = dy.reshape(nb * block, A)[:A]
-    dz = dz.reshape(nb * block, A)[:A]
-    E = e.reshape(nb * block, 3)[:A]
+    co = assemble_tiles(co, A, block)
+    cd = assemble_tiles(cd, A, block)
+    dx = assemble_tiles(dx, A, block)
+    dy = assemble_tiles(dy, A, block)
+    dz = assemble_tiles(dz, A, block)
+    E = assemble_tiles(e, A, block)
     if flags.polar_ewald:
         E = E + recip_term(state, flags, params)
     E = jnp.where(state.atom_alive()[:, None], E, 0.0)

@@ -38,7 +38,8 @@ from ..flags import FFlags, RunParams
 from ..state import SystemState
 from . import polar as polar_mod
 from .ewald import kvectors
-from .pairwise import build_pairs_rect
+from .pairwise import (assemble_tiles, build_pairs_rect, normalize_window,
+                       slice_rows, tile_starts, update_rows)
 
 
 class PolarCache(NamedTuple):
@@ -84,10 +85,14 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
     """Full O(A^2) build (once at chain start / every corrtime refresh)."""
     A = state.n_atom_slots
     nb = -(-A // block)
+    starts = jnp.asarray(tile_starts(A, block))
 
     def body(_, b):
-        rows_f = b * block + jnp.arange(block)
-        rows = jnp.where(rows_f < A, rows_f, -1)
+        if A <= block:
+            rows_f = jnp.arange(block)
+            rows = jnp.where(rows_f < A, rows_f, -1)
+        else:
+            rows = starts[b] + jnp.arange(block)
         pt = build_pairs_rect(state, flags, rows)
         co, cd = polar_mod.mixed_coeff_scalars(state, pt, flags, params)
         f = polar_mod.field_scalars(state, pt, flags, params)
@@ -96,12 +101,12 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
         return None, (co, cd, d32[..., 0], d32[..., 1], d32[..., 2], e)
 
     _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
-    co = co.reshape(nb * block, A)[:A]
-    cd = cd.reshape(nb * block, A)[:A]
-    dx = dx.reshape(nb * block, A)[:A]
-    dy = dy.reshape(nb * block, A)[:A]
-    dz = dz.reshape(nb * block, A)[:A]
-    e = e.reshape(nb * block, 3)[:A]
+    co = assemble_tiles(co, A, block)
+    cd = assemble_tiles(cd, A, block)
+    dx = assemble_tiles(dx, A, block)
+    dy = assemble_tiles(dy, A, block)
+    dz = assemble_tiles(dz, A, block)
+    e = assemble_tiles(e, A, block)
 
     if flags.polar_ewald:
         k, _ = kvectors(state, flags.ewald_kmax)
@@ -157,19 +162,13 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     A = old_state.n_atom_slots
     S_w = rows.shape[0]
     # normalise to WINDOW coordinates: the update window is the S
-    # contiguous plane rows starting at min(rows[0], A-S).  For a short
-    # molecule within S-1 slots of the array end the clip shifts the
-    # window below rows[0]; re-index the moved rows inside it so row k of
-    # every [S,A] tensor is plane row start+k.
-    start_w = jnp.clip(rows[0], 0, A - S_w).astype(jnp.int32)
-    if S_w > 1:   # S == 1 windows never shift (rows[0] is always valid)
-        offset = rows[0].astype(jnp.int32) - start_w
-        rows_w = start_w + jnp.arange(S_w, dtype=jnp.int32)
-        valid_w = (jnp.arange(S_w) >= offset) & jnp.roll(rows >= 0, offset)
-        rows = jnp.where(valid_w, rows_w, -1)
+    # contiguous plane rows starting at min(rows[0], A-S), so every row
+    # read is one dynamic_slice and every write one dynamic_update_slice
+    # (dynamic gathers/scatters lower to serial while loops on TPU).
+    start_w, rows, valid = normalize_window(rows, A)
 
-    safe = jnp.clip(rows, 0, A - 1)
-    valid = rows >= 0
+    def rows_of(arr):
+        return slice_rows(arr, start_w, S_w)
 
     pt_old = build_pairs_rect(old_state, flags, rows)
     pt_new = build_pairs_rect(new_state, flags, rows)
@@ -177,8 +176,8 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # --- pairwise static field -------------------------------------------
     f_old = polar_mod.field_scalars(old_state, pt_old, flags, params)
     f_new = polar_mod.field_scalars(new_state, pt_new, flags, params)
-    q_rows_old = jnp.where(valid, old_state.charge[safe], 0.0)
-    q_rows_new = jnp.where(valid, new_state.charge[safe], 0.0)
+    q_rows_old = jnp.where(valid, rows_of(old_state.charge), 0.0)
+    q_rows_new = jnp.where(valid, rows_of(new_state.charge), 0.0)
     # field sourced by the moved atoms, at every atom: f symmetric,
     # d antisymmetric, so E_j += -f_sj q_s d_sj summed over s
     C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_rows_old, pt_old.dimg)
@@ -235,14 +234,14 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # --- k-space phases / charge structure factors -----------------------
     if flags.polar_ewald:
         k, _ = kvectors(new_state, flags.ewald_kmax)
-        ph_old = old_state.pos[safe] @ k.T
-        ph_new = new_state.pos[safe] @ k.T
+        ph_old = rows_of(old_state.pos) @ k.T
+        ph_new = rows_of(new_state.pos) @ k.T
         cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
         cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
-        qo = jnp.where(valid & old_state.atom_alive()[safe],
-                       old_state.charge[safe], 0.0)
-        qn = jnp.where(valid & new_state.atom_alive()[safe],
-                       new_state.charge[safe], 0.0)
+        qo = jnp.where(valid & rows_of(old_state.atom_alive()),
+                       rows_of(old_state.charge), 0.0)
+        qn = jnp.where(valid & rows_of(new_state.atom_alive()),
+                       rows_of(new_state.charge), 0.0)
         f1 = cache.f1 - qo @ cos_o + qn @ cos_n
         f2 = cache.f2 - qo @ sin_o + qn @ sin_n
 
@@ -274,10 +273,13 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     instead of copying + tree-selecting ~2 GB per move at 10k atoms.
     """
     A = old_state.n_atom_slots
-    safe = jnp.clip(rows, 0, A - 1)
-    valid = rows >= 0
-    idx = jnp.where(valid, safe, A)
-    in_R = jnp.zeros(A, bool).at[idx].set(True, mode="drop")
+    S = rows.shape[0]
+    start, rows, valid = normalize_window(rows, A)
+
+    def rows_of(arr):
+        return slice_rows(arr, start, S)
+
+    in_R = update_rows(jnp.zeros(A, bool), start, valid)
 
     pt_old = build_pairs_rect(old_state, flags, rows)
     pt_new = build_pairs_rect(new_state, flags, rows)
@@ -285,28 +287,28 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     # --- proposal's static field (all [A,3]-small outputs) ----------------
     f_old = polar_mod.field_scalars(old_state, pt_old, flags, params)
     f_new = polar_mod.field_scalars(new_state, pt_new, flags, params)
-    q_ro = jnp.where(valid, old_state.charge[safe], 0.0)
-    q_rn = jnp.where(valid, new_state.charge[safe], 0.0)
+    q_ro = jnp.where(valid, rows_of(old_state.charge), 0.0)
+    q_rn = jnp.where(valid, rows_of(new_state.charge), 0.0)
     C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_ro, pt_old.dimg)
     C_new = -jnp.einsum("sj,s,sjp->jp", f_new, q_rn, pt_new.dimg)
     e = cache.e_pair + (C_new - C_old)
     E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
                         pt_new.dimg)
-    e = e.at[idx].set(E_rows, mode="drop")
+    e = update_rows(e, start, E_rows, valid)
 
     if flags.polar_ewald:
         k, _ = kvectors(new_state, flags.ewald_kmax)
         ea = params.polar_ewald_alpha
         _, k2 = kvectors(new_state, flags.ewald_kmax)
         kw = (k / k2[:, None] * jnp.exp(-k2 / (4.0 * ea * ea))[:, None])
-        ph_old = old_state.pos[safe] @ k.T
-        ph_new = new_state.pos[safe] @ k.T
+        ph_old = rows_of(old_state.pos) @ k.T
+        ph_new = rows_of(new_state.pos) @ k.T
         cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
         cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
-        qo = jnp.where(valid & old_state.atom_alive()[safe],
-                       old_state.charge[safe], 0.0)
-        qn = jnp.where(valid & new_state.atom_alive()[safe],
-                       new_state.charge[safe], 0.0)
+        qo = jnp.where(valid & rows_of(old_state.atom_alive()),
+                       rows_of(old_state.charge), 0.0)
+        qn = jnp.where(valid & rows_of(new_state.atom_alive()),
+                       rows_of(new_state.charge), 0.0)
         f1 = cache.f1 - qo @ cos_o + qn @ cos_n
         f2 = cache.f2 - qo @ sin_o + qn @ sin_n
         hi = jax.lax.Precision.HIGHEST
@@ -315,8 +317,9 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
         E_recip = jnp.matmul(coeff, kw.astype(jnp.float32),
                              precision=hi).astype(jnp.float64)
         # the moved rows' phases changed: fix their recip field directly
-        row_coeff = (sin_n * f1[None, :] - cos_n * f2[None, :])
-        E_recip = E_recip.at[idx].set(row_coeff @ kw, mode="drop")
+        E_recip = update_rows(E_recip, start,
+                              (sin_n * f1[None, :] - cos_n * f2[None, :])
+                              @ kw, valid)
         e = e + E_recip * 8.0 * const.pi / new_state.pbc.volume
     E_static = jnp.where(new_state.atom_alive()[:, None], e, 0.0)
 
@@ -330,11 +333,11 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     dxn = jnp.where(vm, d_n[..., 0], 0.0)
     dyn = jnp.where(vm, d_n[..., 1], 0.0)
     dzn = jnp.where(vm, d_n[..., 2], 0.0)
-    co_o = jnp.where(vm, cache.co[safe], 0.0)
-    cd_o = jnp.where(vm, cache.cd[safe], 0.0)
-    dxo = jnp.where(vm, cache.dx[safe], 0.0)
-    dyo = jnp.where(vm, cache.dy[safe], 0.0)
-    dzo = jnp.where(vm, cache.dz[safe], 0.0)
+    co_o = jnp.where(vm, rows_of(cache.co), 0.0)
+    cd_o = jnp.where(vm, rows_of(cache.cd), 0.0)
+    dxo = jnp.where(vm, rows_of(cache.dx), 0.0)
+    dyo = jnp.where(vm, rows_of(cache.dy), 0.0)
+    dzo = jnp.where(vm, rows_of(cache.dz), 0.0)
 
     def contract_fn(m):
         base = polar_mod.contract_mixed(
@@ -343,7 +346,7 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
         mx = m32[:, 0][None, :]
         my = m32[:, 1][None, :]
         mz = m32[:, 2][None, :]
-        mu_r = jnp.where(vm, m32[safe], 0.0)                 # [S,3]
+        mu_r = jnp.where(vm, rows_of(m32), 0.0)              # [S,3]
 
         def row_ef(co_b, cd_b, dxb, dyb, dzb):
             # field AT the row atoms from everyone: -(sum_j M_sj mu_j)
@@ -370,8 +373,8 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
             col_ef(co_o, cd_o, dxo, dyo, dzo)
         # pairs with i in R belong to the wholesale row replacement below
         ef = base + jnp.where(in_R[:, None], 0.0, col_corr)
-        return ef.at[idx].set(row_ef(co_n, cd_n, dxn, dyn, dzn),
-                              mode="drop")
+        return update_rows(ef, start, row_ef(co_n, cd_n, dxn, dyn, dzn),
+                           valid)
 
     return polar_mod.finish_polar(new_state, flags, params, E_static,
                                   contract_fn)

@@ -134,21 +134,33 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
         pen = jax.lax.psum(pen.astype(jnp.int32), axis) > 0
 
         if flags.polarization and use_es:
-            # row-sharded mixed-precision SCF: local planes, gathered field
+            # row-sharded mixed-precision SCF: local planes; rows place at
+            # their true window start and psum across devices (a tiled
+            # all_gather would misalign when the tail device's padded
+            # window is shifted into bounds by the row normalisation)
+            from ..ops.pairwise import normalize_window, update_rows
             pt = build_pairs_rect(st, flags, rows_slice)
+            w_start, _, w_valid = normalize_window(rows_slice, A)
             co, cd = polar_mod.mixed_coeff_scalars(st, pt, flags, params)
             d32 = pt.dimg.astype(jnp.float32)
             planes = (co, cd, d32[..., 0], d32[..., 1], d32[..., 2])
             f = polar_mod.field_scalars(st, pt, flags, params)
             e_rows = jnp.einsum("sj,j,sjp->sp", f, st.charge, pt.dimg)
-            E = jax.lax.all_gather(e_rows, axis, tiled=True)[:A]
+
+            def place(rows_val):
+                z = jnp.zeros((A,) + rows_val.shape[1:], rows_val.dtype)
+                masked = jnp.where(
+                    w_valid.reshape((-1,) + (1,) * (rows_val.ndim - 1)),
+                    rows_val, 0)
+                return jax.lax.psum(update_rows(z, w_start, masked), axis)
+
+            E = place(e_rows)
             if flags.polar_ewald:
                 E = E + polar_mod.recip_term(st, flags, params)
             E = jnp.where(st.atom_alive()[:, None], E, 0.0)
 
             def contract_fn(m):
-                ef_rows = polar_mod.contract_mixed(planes, m)
-                return jax.lax.all_gather(ef_rows, axis, tiled=True)[:A]
+                return place(polar_mod.contract_mixed(planes, m))
 
             res = polar_mod.finish_polar(st, flags, params, E, contract_fn)
             pol, mu, iters, failed, rrms = res

@@ -66,6 +66,8 @@ def test_golden(path):
         fix = json.load(f)
     if fix.get("oracle") == "tensor":
         pytest.skip("tensor fixture, covered by test_polarizability_tensor")
+    if "atoms" not in fix:
+        pytest.skip("config-less fixture, covered by a dedicated test")
     state, flags, params = build_from_fixture(fix)
     eb = energy_breakdown(state, flags, params)
     exp = fix["expected"]

@@ -65,9 +65,11 @@ class TestReplicaDriver:
         n_end = np.asarray(sim.carry.obs.N).copy()
         e_end = np.asarray(sim.carry.obs.energy).copy()
 
-        # a fresh driver in the same directory must resume each replica
-        # from its own restart file (not re-broadcast the input)
+        # with parallel_restarts on, a fresh driver in the same directory
+        # must resume each replica from its own restart file (not
+        # re-broadcast the input) — SimulationControl.cpp:2298-2355
         cfg2 = read_config("run.in")
+        cfg2.parallel_restarts = True
         sim2 = ReplicaSimulation(cfg2, 2, quiet=True)
         n_res = np.asarray(sim2.carry.obs.N)
         e_res = np.asarray(sim2.carry.obs.energy)
@@ -78,6 +80,7 @@ class TestReplicaDriver:
         monkeypatch.chdir(tmp_path)
         write_inputs(tmp_path, hist=False)
         cfg = read_config("run.in")
+        cfg.parallel_restarts = True
         sim = ReplicaSimulation(cfg, 2, quiet=True)
         # nothing on disk -> both replicas fall back to the input file
         assert sim._restart_path(0) == "box.pqr"
@@ -87,3 +90,17 @@ class TestReplicaDriver:
         open("rdrv.restart-0001.pqr", "w").write("")
         assert sim._restart_path(1) == "rdrv.restart-0001.pqr"
         assert sim._restart_path(0) == "box.pqr"
+
+    def test_restart_search_gated_on_parallel_restarts(self, tmp_path,
+                                                       monkeypatch):
+        # the reference only resumes from restart files when
+        # parallel_restarts is on (SimulationControl.cpp:2298-2355):
+        # re-running a replica job in the same directory must NOT
+        # silently continue the previous run
+        monkeypatch.chdir(tmp_path)
+        write_inputs(tmp_path, hist=False)
+        cfg = read_config("run.in")
+        assert not cfg.parallel_restarts
+        sim = ReplicaSimulation(cfg, 2, quiet=True)
+        open("rdrv.restart-0001.pqr", "w").write("")
+        assert sim._restart_path(1) == "box.pqr"
