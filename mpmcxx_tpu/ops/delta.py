@@ -26,7 +26,8 @@ from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
 from . import ewald, pair_potentials
-from .pairwise import build_pairs_rect, normalize_window, slice_rows
+from .pairwise import (build_pairs_rect, normalize_window, phase_dot,
+                       slice_rows, sum_small_rows)
 
 
 class SFCache(NamedTuple):
@@ -76,9 +77,9 @@ def sf_shift(state: SystemState, flags: FFlags, rows, sign: float
     valid = valid & alive_r & ~frozen_r
     q = jnp.where(valid, slice_rows(state.charge, start, S), 0.0)
     k, _ = ewald.kvectors(state, flags.ewald_kmax)
-    phase = slice_rows(state.pos, start, S) @ k.T     # [S,K]
-    return SFCache(re=sign * (q @ jnp.cos(phase)),
-                   im=sign * (q @ jnp.sin(phase)))
+    phase = phase_dot(slice_rows(state.pos, start, S), k)     # [S,K]
+    return SFCache(re=sign * sum_small_rows(q, jnp.cos(phase)),
+                   im=sign * sum_small_rows(q, jnp.sin(phase)))
 
 
 def sf_apply(sf: SFCache, *shifts) -> SFCache:

@@ -44,8 +44,10 @@ def hemisphere_kvecs(kmax: int) -> np.ndarray:
 
 def kvectors(state: SystemState, kmax: int):
     """[K,3] reciprocal vectors 2*pi * l @ recip.T and [K] k^2."""
+    from ..pbc import _mul3
     ls = jnp.asarray(hemisphere_kvecs(kmax))
-    k = 2.0 * const.pi * ls @ state.pbc.reciprocal.T
+    # size-3 contraction unrolled (serial while-loop lowering on TPU)
+    k = 2.0 * const.pi * _mul3(ls, state.pbc.reciprocal.T)
     k2 = jnp.sum(k * k, axis=-1)
     return k, k2
 

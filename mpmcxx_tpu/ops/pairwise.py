@@ -101,6 +101,38 @@ def normalize_window(rows, A: int):
     return start, jnp.where(valid_w, start + arange, -1), valid_w
 
 
+def phase_dot(pos, k):
+    """``pos[...,3] @ k[K,3].T`` with the size-3 contraction unrolled —
+    a dot_general contracting a length-3 axis lowers to a serial while
+    loop on TPU (~60 us overhead per instance in the MC hot path)."""
+    return (pos[..., 0:1] * k[:, 0] + pos[..., 1:2] * k[:, 1] +
+            pos[..., 2:3] * k[:, 2])
+
+
+def sum_small_rows(w, m):
+    """``w[S] @ m[S, ...]`` for small static S, unrolled to fused
+    multiply-adds (same serialization hazard as phase_dot)."""
+    out = w[0] * m[0]
+    for s in range(1, m.shape[0]):
+        out = out + w[s] * m[s]
+    return out
+
+
+def contract_small_rows(f, q, d):
+    """``einsum('sj,s,sjp->jp', f, q, d)`` for small static S, unrolled."""
+    out = (f[0] * q[0])[:, None] * d[0]
+    for s in range(1, f.shape[0]):
+        out = out + (f[s] * q[s])[:, None] * d[s]
+    return out
+
+
+def rows_field(f, qj, d):
+    """``einsum('sj,j,sjp->sp', f, qj, d)`` via elementwise + reduce (a
+    [S,3]-output dot_general also serializes)."""
+    t = f * qj[None, :]
+    return jnp.sum(t[..., None] * d, axis=1)
+
+
 def tile_starts(A: int, block: int):
     """Static tile starts covering [0,A) with fully in-bounds windows;
     the last tile shifts down to end exactly at A (its overlap rows

@@ -38,8 +38,10 @@ from ..flags import FFlags, RunParams
 from ..state import SystemState
 from . import polar as polar_mod
 from .ewald import kvectors
-from .pairwise import (assemble_tiles, build_pairs_rect, normalize_window,
-                       slice_rows, tile_starts, update_rows)
+from .pairwise import (assemble_tiles, build_pairs_rect,
+                       contract_small_rows, normalize_window, phase_dot,
+                       rows_field, slice_rows, sum_small_rows, tile_starts,
+                       update_rows)
 
 
 class PolarCache(NamedTuple):
@@ -96,7 +98,7 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
         pt = build_pairs_rect(state, flags, rows)
         co, cd = polar_mod.mixed_coeff_scalars(state, pt, flags, params)
         f = polar_mod.field_scalars(state, pt, flags, params)
-        e = jnp.einsum("sj,j,sjp->sp", f, state.charge, pt.dimg)
+        e = rows_field(f, state.charge, pt.dimg)
         d32 = pt.dimg.astype(jnp.float32)
         return None, (co, cd, d32[..., 0], d32[..., 1], d32[..., 2], e)
 
@@ -180,13 +182,12 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     q_rows_new = jnp.where(valid, rows_of(new_state.charge), 0.0)
     # field sourced by the moved atoms, at every atom: f symmetric,
     # d antisymmetric, so E_j += -f_sj q_s d_sj summed over s
-    C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_rows_old, pt_old.dimg)
-    C_new = -jnp.einsum("sj,s,sjp->jp", f_new, q_rows_new, pt_new.dimg)
+    C_old = -contract_small_rows(f_old, q_rows_old, pt_old.dimg)
+    C_new = -contract_small_rows(f_new, q_rows_new, pt_new.dimg)
     e = cache.e_pair + (C_new - C_old)
     # the moved rows' own field changed wholesale: recompute outright
     # (contiguous-row dynamic_update_slice, see upd_plane below)
-    E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
-                        pt_new.dimg)
+    E_rows = rows_field(f_new, new_state.charge, pt_new.dimg)
     _start = start_w
     _z = jnp.zeros((), jnp.int32)
     _cur_e = jax.lax.dynamic_slice(e, (_start, _z), (S_w, 3))
@@ -234,16 +235,16 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # --- k-space phases / charge structure factors -----------------------
     if flags.polar_ewald:
         k, _ = kvectors(new_state, flags.ewald_kmax)
-        ph_old = rows_of(old_state.pos) @ k.T
-        ph_new = rows_of(new_state.pos) @ k.T
+        ph_old = phase_dot(rows_of(old_state.pos), k)
+        ph_new = phase_dot(rows_of(new_state.pos), k)
         cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
         cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
         qo = jnp.where(valid & rows_of(old_state.atom_alive()),
                        rows_of(old_state.charge), 0.0)
         qn = jnp.where(valid & rows_of(new_state.atom_alive()),
                        rows_of(new_state.charge), 0.0)
-        f1 = cache.f1 - qo @ cos_o + qn @ cos_n
-        f2 = cache.f2 - qo @ sin_o + qn @ sin_n
+        f1 = cache.f1 - sum_small_rows(qo, cos_o) + sum_small_rows(qn, cos_n)
+        f2 = cache.f2 - sum_small_rows(qo, sin_o) + sum_small_rows(qn, sin_n)
 
         def upd_phase(plane, vals):
             K = plane.shape[1]
@@ -289,11 +290,10 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     f_new = polar_mod.field_scalars(new_state, pt_new, flags, params)
     q_ro = jnp.where(valid, rows_of(old_state.charge), 0.0)
     q_rn = jnp.where(valid, rows_of(new_state.charge), 0.0)
-    C_old = -jnp.einsum("sj,s,sjp->jp", f_old, q_ro, pt_old.dimg)
-    C_new = -jnp.einsum("sj,s,sjp->jp", f_new, q_rn, pt_new.dimg)
+    C_old = -contract_small_rows(f_old, q_ro, pt_old.dimg)
+    C_new = -contract_small_rows(f_new, q_rn, pt_new.dimg)
     e = cache.e_pair + (C_new - C_old)
-    E_rows = jnp.einsum("sj,j,sjp->sp", f_new, new_state.charge,
-                        pt_new.dimg)
+    E_rows = rows_field(f_new, new_state.charge, pt_new.dimg)
     e = update_rows(e, start, E_rows, valid)
 
     if flags.polar_ewald:
@@ -301,25 +301,26 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
         ea = params.polar_ewald_alpha
         _, k2 = kvectors(new_state, flags.ewald_kmax)
         kw = (k / k2[:, None] * jnp.exp(-k2 / (4.0 * ea * ea))[:, None])
-        ph_old = rows_of(old_state.pos) @ k.T
-        ph_new = rows_of(new_state.pos) @ k.T
+        ph_old = phase_dot(rows_of(old_state.pos), k)
+        ph_new = phase_dot(rows_of(new_state.pos), k)
         cos_o, sin_o = jnp.cos(ph_old), jnp.sin(ph_old)
         cos_n, sin_n = jnp.cos(ph_new), jnp.sin(ph_new)
         qo = jnp.where(valid & rows_of(old_state.atom_alive()),
                        rows_of(old_state.charge), 0.0)
         qn = jnp.where(valid & rows_of(new_state.atom_alive()),
                        rows_of(new_state.charge), 0.0)
-        f1 = cache.f1 - qo @ cos_o + qn @ cos_n
-        f2 = cache.f2 - qo @ sin_o + qn @ sin_n
+        f1 = cache.f1 - sum_small_rows(qo, cos_o) + sum_small_rows(qn, cos_n)
+        f2 = cache.f2 - sum_small_rows(qo, sin_o) + sum_small_rows(qn, sin_n)
         hi = jax.lax.Precision.HIGHEST
         coeff = (cache.sinp * f1.astype(jnp.float32)[None, :] -
                  cache.cosp * f2.astype(jnp.float32)[None, :])
         E_recip = jnp.matmul(coeff, kw.astype(jnp.float32),
                              precision=hi).astype(jnp.float64)
         # the moved rows' phases changed: fix their recip field directly
-        E_recip = update_rows(E_recip, start,
-                              (sin_n * f1[None, :] - cos_n * f2[None, :])
-                              @ kw, valid)
+        row_coeff = sin_n * f1[None, :] - cos_n * f2[None, :]
+        E_recip = update_rows(
+            E_recip, start,
+            jnp.sum(row_coeff[..., None] * kw[None], axis=1), valid)
         e = e + E_recip * 8.0 * const.pi / new_state.pbc.volume
     E_static = jnp.where(new_state.atom_alive()[:, None], e, 0.0)
 

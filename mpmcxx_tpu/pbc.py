@@ -105,6 +105,14 @@ class PBC:
         )
 
 
+def _mul3(d, M):
+    """``einsum('...p,pq->...q', d, M)`` with the size-3 contraction
+    unrolled: a dot_general contracting a length-3 axis lowers to a
+    serial while loop on TPU (~60 us of loop overhead per op instance in
+    the MC hot path); three broadcast multiply-adds fuse instead."""
+    return (d[..., 0:1] * M[0] + d[..., 1:2] * M[1] + d[..., 2:3] * M[2])
+
+
 def minimum_image_disp(d, basis, reciprocal):
     """Minimum-image a displacement (batch) ``d[...,3]``.
 
@@ -112,9 +120,9 @@ def minimum_image_disp(d, basis, reciprocal):
     Matches src/System.cpp:1202-1279: project into fractional coords, rint,
     project back, subtract.
     """
-    frac = jnp.einsum("...p,pq->...q", d, reciprocal)
+    frac = _mul3(d, reciprocal)
     img = jnp.round(frac)
-    shift = jnp.einsum("...p,pq->...q", img, basis)
+    shift = _mul3(img, basis)
     di = d - shift
     ri = jnp.linalg.norm(di, axis=-1)
     return di, ri
@@ -130,8 +138,8 @@ def wrap_positions(pos, basis, reciprocal):
 
 
 def cart_to_frac(cart, reciprocal):
-    return jnp.einsum("...p,pq->...q", cart, reciprocal)
+    return _mul3(cart, reciprocal)
 
 
 def frac_to_cart(frac, basis):
-    return jnp.einsum("...p,pq->...q", frac, basis)
+    return _mul3(frac, basis)
