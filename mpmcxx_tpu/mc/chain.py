@@ -353,7 +353,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                 rows = jnp.nonzero(state.mol_id == row_mol,
                                    size=opts.max_mol_atoms, fill_value=-1)[0]
 
-            def eval_delta_p(ns):
+            def eval_delta_p(ns, with_commit=False):
                 dres = delta_mod.delta_energy(state, ns, rows, carry.sf,
                                               flags, params,
                                               recip_old=carry.recip_e)
@@ -362,7 +362,12 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                 # matrix-free proposal: the cached planes stay read-only
                 # here; the commit below scatters in place post-decision
                 pres = pcache_mod.polar_proposal(carry.pcache, state, ns,
-                                                 rows, flags, params)
+                                                 rows, flags, params,
+                                                 with_commit=with_commit)
+                if with_commit:
+                    pres, pcommit = pres
+                else:
+                    pcommit = None
                 if flags.cavity_autoreject_absolute:
                     from ..ops.energy import cavity_absolute_check
                     from ..ops.pairwise import build_pairs_rect
@@ -370,9 +375,10 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     pen = cavity_absolute_check(ns, ptr, params)
                 else:
                     pen = jnp.zeros(())
-                return (rd, coul, pres.energy, pres.mu, pres.iterations,
-                        pres.iterator_failed, pres.dipole_rrms, pen,
-                        dres.sf_new, dres.recip_new)
+                out = (rd, coul, pres.energy, pres.mu, pres.iterations,
+                       pres.iterator_failed, pres.dipole_rrms, pen,
+                       dres.sf_new, dres.recip_new)
+                return (out, pcommit) if with_commit else out
 
             def eval_full_p(ns):
                 if opts.blocked_energy:
@@ -400,9 +406,11 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                  recip_new) = \
                     jax.lax.cond(movetype == const.MOVETYPE_VOLUME,
                                  eval_full_p, eval_delta_p, new_state)
+                pcommit = None
             else:
-                (rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
-                 recip_new) = eval_delta_p(new_state)
+                ((rd, coul, pol, mu, piters, pfail, prrms, pen, sf_new,
+                  recip_new), pcommit) = eval_delta_p(new_state,
+                                                      with_commit=True)
             pcache_rows = rows
             eb = EnergyBreakdown(
                 total=rd + coul + pol, rd=rd, coulombic=coul,
@@ -547,7 +555,10 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                     movetype == const.MOVETYPE_VOLUME, commit_volume,
                     commit_move, carry.pcache)
             else:
-                pcache_out = commit_move(carry.pcache)
+                # geometry-free commit from the proposal's own tables:
+                # on reject every write re-writes current content
+                pcache_out = pcache_mod.cache_commit(carry.pcache, accept,
+                                                     pcommit, flags)
         else:
             pcache_out = sel(pcache_new, carry.pcache)
 

@@ -148,6 +148,43 @@ def static_field(state: SystemState, flags: FFlags, params: RunParams,
     return jnp.where(state.atom_alive()[:, None], E, 0.0)
 
 
+def write_symmetric_rows(plane, rows_plane, start, valid, sign: float):
+    """Commit an S-row update window into a symmetric (sign=+1) or
+    antisymmetric (sign=-1) [A,A] plane, writing the row strip directly
+    and the matching column strip via the symmetry invariant
+    ``plane[:, start+s] == sign * plane[start+s, :]``.
+
+    Every plane access here is a contiguous ROW slice or a single-column
+    [A,1] update — two TPU-layout landmines lurk otherwise: (a) a column
+    dynamic_slice (or an [S,A]-slice transpose, which XLA's simplifier
+    rewrites into a column slice of a transposed plane) materialises a
+    full layout-converted ~480 MB copy of the plane (~1.5 ms); (b) an
+    [A,S>1] column dynamic_update_slice makes layout assignment flip part
+    of the plane's use chain to {0,1} while the Pallas SCF kernel needs
+    {1,0}, again forcing full-plane copies.  Rows whose ``valid`` entry
+    is False re-write their current content (a semantic no-op)."""
+    A = plane.shape[0]
+    S = rows_plane.shape[0]
+    z = jnp.zeros((), jnp.int32)
+    cur = jax.lax.dynamic_slice(plane, (start, z), (S, A))
+    blend = jnp.where(valid[:, None], rows_plane, cur)
+    plane = jax.lax.dynamic_update_slice(plane, blend, (start, z))
+    for s in range(S):
+        _s = jnp.asarray(s, jnp.int32)
+        # desired column start+s: sign*blend[s] where the column is valid,
+        # else its current content == sign*cur[s] away from the window
+        # with the window rows patched to the row-write values
+        colv = sign * jnp.where(valid[s], blend[s], cur[s])        # [A]
+        win_cur = jax.lax.dynamic_slice(
+            blend, (z, start + _s), (S, 1))[:, 0]                  # [S]
+        win_val = jax.lax.dynamic_slice(colv, (start,), (S,))
+        patch = jnp.where(valid[s], win_val, win_cur)
+        colv = jax.lax.dynamic_update_slice(colv, patch, (start,))
+        plane = jax.lax.dynamic_update_slice(plane, colv[:, None],
+                                             (z, start + _s))
+    return plane
+
+
 def cache_move(cache: PolarCache, old_state: SystemState,
                new_state: SystemState, rows, flags: FFlags,
                params: RunParams) -> PolarCache:
@@ -209,28 +246,11 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     start = start_w
     z = jnp.zeros((), jnp.int32)
 
-    def upd_plane(plane, rows_plane, sign):
-        # Only ROW reads touch the plane: a column dynamic_slice makes XLA
-        # materialise a full layout-transposed copy of the 420 MB plane
-        # (profiled at ~1.3 ms per plane per step).  The current column
-        # block follows from the plane's (anti)symmetry invariant instead:
-        # plane[:, start:start+S] == sign * plane[start:start+S, :].T.
-        # The S x S row/column intersection is patched to the row-write
-        # values so both writes agree there.
-        cur = jax.lax.dynamic_slice(plane, (start, z), (S, A))
-        blend = jnp.where(valid[:, None], rows_plane, cur)
-        curc = sign * cur.T
-        inter = jax.lax.dynamic_slice(blend, (z, start), (S, S))
-        curc = jax.lax.dynamic_update_slice(curc, inter, (start, z))
-        blendc = jnp.where(valid[None, :], sign * blend.T, curc)
-        plane = jax.lax.dynamic_update_slice(plane, blend, (start, z))
-        return jax.lax.dynamic_update_slice(plane, blendc, (z, start))
-
-    co = upd_plane(cache.co, co_rows, 1.0)
-    cd = upd_plane(cache.cd, cd_rows, 1.0)
-    dx = upd_plane(cache.dx, d_rows[..., 0], -1.0)
-    dy = upd_plane(cache.dy, d_rows[..., 1], -1.0)
-    dz = upd_plane(cache.dz, d_rows[..., 2], -1.0)
+    co = write_symmetric_rows(cache.co, co_rows, start, valid, 1.0)
+    cd = write_symmetric_rows(cache.cd, cd_rows, start, valid, 1.0)
+    dx = write_symmetric_rows(cache.dx, d_rows[..., 0], start, valid, -1.0)
+    dy = write_symmetric_rows(cache.dy, d_rows[..., 1], start, valid, -1.0)
+    dz = write_symmetric_rows(cache.dz, d_rows[..., 2], start, valid, -1.0)
 
     # --- k-space phases / charge structure factors -----------------------
     if flags.polar_ewald:
@@ -260,9 +280,28 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     return PolarCache(co, cd, dx, dy, dz, e, cosp, sinp, f1, f2)
 
 
+class CommitData(NamedTuple):
+    """Everything ``cache_commit`` needs to update the cache for an
+    ACCEPTED move, captured from ``polar_proposal``'s own intermediates so
+    the commit re-runs no geometry (no pair build, no erfc/erf, no
+    damping) — those were ~2.5 ms/move of duplicated work at 10k atoms."""
+    start: jnp.ndarray    # window start (i32)
+    valid: jnp.ndarray    # [S] bool
+    e_pair: jnp.ndarray   # [A,3] f64 pairwise static field (no recip)
+    co: jnp.ndarray       # [S,A] f32 row blocks (invalid rows zeroed)
+    cd: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    dz: jnp.ndarray
+    f1: jnp.ndarray       # [K] f64 updated structure factors
+    f2: jnp.ndarray
+    cosp: jnp.ndarray     # [S,K] f64 new-row phases
+    sinp: jnp.ndarray
+
+
 def polar_proposal(cache: PolarCache, old_state: SystemState,
                    new_state: SystemState, rows, flags: FFlags,
-                   params: RunParams) -> polar_mod.PolarResult:
+                   params: RunParams, with_commit: bool = False):
     """Polarization energy of a PROPOSED move without materialising an
     updated cache.
 
@@ -270,8 +309,11 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     moved rows/columns, so each SCF iteration contracts against the
     unmodified cache and applies O(S*A) row/column corrections.  This
     keeps the big planes read-only inside the MC step — the commit
-    (cache_move on the accepted state) is then free to scatter in place,
-    instead of copying + tree-selecting ~2 GB per move at 10k atoms.
+    (cache_commit with the captured CommitData, or cache_move on the
+    accepted state) is then free to scatter in place, instead of
+    copying + tree-selecting ~2 GB per move at 10k atoms.
+
+    With ``with_commit`` returns ``(PolarResult, CommitData)``.
     """
     A = old_state.n_atom_slots
     S = rows.shape[0]
@@ -295,6 +337,7 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     e = cache.e_pair + (C_new - C_old)
     E_rows = rows_field(f_new, new_state.charge, pt_new.dimg)
     e = update_rows(e, start, E_rows, valid)
+    e_pair_new = e
 
     if flags.polar_ewald:
         k, _ = kvectors(new_state, flags.ewald_kmax)
@@ -322,6 +365,10 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
             E_recip, start,
             jnp.sum(row_coeff[..., None] * kw[None], axis=1), valid)
         e = e + E_recip * 8.0 * const.pi / new_state.pbc.volume
+    else:
+        f1, f2 = cache.f1, cache.f2
+        cos_n = jnp.zeros((S, 0))
+        sin_n = jnp.zeros((S, 0))
     E_static = jnp.where(new_state.atom_alive()[:, None], e, 0.0)
 
     # --- row blocks, new (from geometry) and old (gathered from cache) ---
@@ -377,8 +424,51 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
         return update_rows(ef, start, row_ef(co_n, cd_n, dxn, dyn, dzn),
                            valid)
 
-    return polar_mod.finish_polar(new_state, flags, params, E_static,
-                                  contract_fn)
+    res = polar_mod.finish_polar(new_state, flags, params, E_static,
+                                 contract_fn)
+    if not with_commit:
+        return res
+    cdata = CommitData(start=start, valid=valid, e_pair=e_pair_new,
+                       co=co_n, cd=cd_n, dx=dxn, dy=dyn, dz=dzn,
+                       f1=f1, f2=f2, cosp=cos_n, sinp=sin_n)
+    return res, cdata
+
+
+def cache_commit(cache: PolarCache, accept, cdata: CommitData,
+                 flags: FFlags) -> PolarCache:
+    """Commit a proposal's CommitData into the cache: the accepted-move
+    equivalent of ``cache_move`` with zero geometry recomputation (no
+    pair build / erfc / damping — everything was already computed by
+    ``polar_proposal(with_commit=True)`` on the same states).  On reject
+    every write re-writes current content, a semantic no-op, so the
+    commit is safe to run unconditionally after the Metropolis decision
+    (a lax.cond on the carried [A,A] planes would block XLA's in-place
+    aliasing and copy ~2 GB per move)."""
+    S = cdata.valid.shape[0]
+    start = cdata.start
+    z = jnp.zeros((), jnp.int32)
+    ok = accept & cdata.valid                      # [S]
+    e = jnp.where(accept, cdata.e_pair, cache.e_pair)
+    co = write_symmetric_rows(cache.co, cdata.co, start, ok, 1.0)
+    cd = write_symmetric_rows(cache.cd, cdata.cd, start, ok, 1.0)
+    dx = write_symmetric_rows(cache.dx, cdata.dx, start, ok, -1.0)
+    dy = write_symmetric_rows(cache.dy, cdata.dy, start, ok, -1.0)
+    dz = write_symmetric_rows(cache.dz, cdata.dz, start, ok, -1.0)
+    if flags.polar_ewald:
+        f1 = jnp.where(accept, cdata.f1, cache.f1)
+        f2 = jnp.where(accept, cdata.f2, cache.f2)
+
+        def commit_phase(plane, vals):
+            K = plane.shape[1]
+            cur = jax.lax.dynamic_slice(plane, (start, z), (S, K))
+            blend = jnp.where(ok[:, None], vals.astype(jnp.float32), cur)
+            return jax.lax.dynamic_update_slice(plane, blend, (start, z))
+
+        cosp = commit_phase(cache.cosp, cdata.cosp)
+        sinp = commit_phase(cache.sinp, cdata.sinp)
+    else:
+        cosp, sinp, f1, f2 = cache.cosp, cache.sinp, cache.f1, cache.f2
+    return PolarCache(co, cd, dx, dy, dz, e, cosp, sinp, f1, f2)
 
 
 def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,

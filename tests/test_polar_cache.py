@@ -111,6 +111,59 @@ class TestCacheConsistency:
         state = new
         check(cache, state)
 
+    def test_cache_commit_matches_cache_move_and_rejects_noop(self):
+        """cache_commit from the proposal's CommitData must equal the
+        geometry-recomputing cache_move on accept, and be a bitwise no-op
+        on reject — for displace, remove, and insert."""
+        state, _ = polar_system()
+        cache = pc.cache_init(state, FLAGS, PARAMS, block=16)
+        key = jax.random.PRNGKey(7)
+
+        def new_state_for(kind, state, key):
+            if kind == "displace":
+                rows = rows_of(state, 3, 3)
+                return moves.displace_rows(state, key, rows, rows >= 0,
+                                           0.3, 1.0), rows
+            if kind == "remove":
+                rows = rows_of(state, 5, 3)
+                return moves.remove(state, jnp.asarray(5)), rows
+            slot = int(moves.find_dead_slot(state, state.mol_type[0]))
+            rows_t = rows_of(state, 0, 3)
+            rows_s = rows_of(state, slot, 3)
+            ns, valid = moves.insert_rows(state, key, rows_t, rows_s,
+                                          rows_t >= 0, jnp.asarray(slot),
+                                          jnp.asarray(True))
+            assert bool(valid)
+            return ns, rows_s
+
+        for kind in ("displace", "remove", "insert"):
+            key, k = jax.random.split(key)
+            new, rows = new_state_for(kind, state, k)
+            res_a, cdata = pc.polar_proposal(cache, state, new, rows,
+                                             FLAGS, PARAMS,
+                                             with_commit=True)
+            res_b = pc.polar_proposal(cache, state, new, rows, FLAGS,
+                                      PARAMS)
+            assert float(res_a.energy) == float(res_b.energy)
+
+            moved = pc.cache_move(cache, state, new, rows, FLAGS, PARAMS)
+            committed = pc.cache_commit(cache, jnp.asarray(True), cdata,
+                                        FLAGS)
+            for f in pc.PolarCache._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(committed, f)),
+                    np.asarray(getattr(moved, f)), atol=1e-12,
+                    err_msg=f"{kind}:{f}")
+
+            rejected = pc.cache_commit(cache, jnp.asarray(False), cdata,
+                                       FLAGS)
+            for f in pc.PolarCache._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(rejected, f)),
+                    np.asarray(getattr(cache, f)), err_msg=f"{kind}:{f}")
+
+            cache, state = committed, new
+
     def test_polar_from_cache_matches_blocked(self):
         state, _ = polar_system()
         cache = pc.cache_init(state, FLAGS, PARAMS, block=16)
