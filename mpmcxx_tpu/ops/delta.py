@@ -52,7 +52,7 @@ def sf_compute(state: SystemState, flags: FFlags, params: RunParams
                ) -> SFCache:
     k, _ = ewald.kvectors(state, flags.ewald_kmax)
     q = jnp.where(state.atom_alive() & ~state.frozen, state.charge, 0.0)
-    phase = state.pos @ k.T
+    phase = phase_dot(state.pos, k)
     return SFCache(re=q @ jnp.cos(phase), im=q @ jnp.sin(phase))
 
 

@@ -23,7 +23,7 @@ from jax.scipy.special import erf, erfc
 from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
-from .pairwise import PairTensors
+from .pairwise import PairTensors, phase_dot
 from .pair_potentials import _reduced_mass_kg, _safe_div
 
 
@@ -44,10 +44,9 @@ def hemisphere_kvecs(kmax: int) -> np.ndarray:
 
 def kvectors(state: SystemState, kmax: int):
     """[K,3] reciprocal vectors 2*pi * l @ recip.T and [K] k^2."""
-    from ..pbc import _mul3
     ls = jnp.asarray(hemisphere_kvecs(kmax))
     # size-3 contraction unrolled (serial while-loop lowering on TPU)
-    k = 2.0 * const.pi * _mul3(ls, state.pbc.reciprocal.T)
+    k = 2.0 * const.pi * phase_dot(ls, state.pbc.reciprocal)
     k2 = jnp.sum(k * k, axis=-1)
     return k, k2
 
@@ -117,7 +116,7 @@ def coulombic_reciprocal(state: SystemState, flags: FFlags,
     alpha = params.ewald_alpha
     k, k2 = kvectors(state, flags.ewald_kmax)
     q = jnp.where(state.atom_alive() & ~state.frozen, state.charge, 0.0)
-    phase = state.pos @ k.T                     # [A,K]
+    phase = phase_dot(state.pos, k)             # [A,K]
     sf_re = q @ jnp.cos(phase)                  # [K]
     sf_im = q @ jnp.sin(phase)
     pot = jnp.sum(jnp.exp(-k2 / (4.0 * alpha * alpha)) / k2 *

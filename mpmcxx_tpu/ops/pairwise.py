@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..flags import FFlags
-from ..pbc import minimum_image_disp
+from ..pbc import _mul3, minimum_image_disp
 from ..state import SystemState
 
 
@@ -104,9 +104,9 @@ def normalize_window(rows, A: int):
 def phase_dot(pos, k):
     """``pos[...,3] @ k[K,3].T`` with the size-3 contraction unrolled —
     a dot_general contracting a length-3 axis lowers to a serial while
-    loop on TPU (~60 us overhead per instance in the MC hot path)."""
-    return (pos[..., 0:1] * k[:, 0] + pos[..., 1:2] * k[:, 1] +
-            pos[..., 2:3] * k[:, 2])
+    loop on TPU (~60 us overhead per instance in the MC hot path).
+    Delegates to pbc._mul3, the one shared unrolled implementation."""
+    return _mul3(pos, k.T)
 
 
 def sum_small_rows(w, m):

@@ -30,7 +30,7 @@ from jax.scipy.special import erf, erfc
 from .. import constants as const
 from ..flags import FFlags, RunParams
 from ..state import SystemState
-from .pairwise import PairTensors
+from .pairwise import PairTensors, phase_dot
 from .ewald import kvectors
 from .linalg import solve_sym
 
@@ -190,7 +190,7 @@ def recip_term(state: SystemState, flags: FFlags, params: RunParams):
     ea = params.polar_ewald_alpha
     k, k2 = kvectors(state, flags.ewald_kmax)       # [K,3],[K]
     q = jnp.where(state.atom_alive(), state.charge, 0.0)
-    phase = state.pos @ k.T                         # [A,K]
+    phase = phase_dot(state.pos, k)                 # [A,K]
     cosp, sinp = jnp.cos(phase), jnp.sin(phase)
     f1 = q @ cosp                                   # [K] sum q cos
     f2 = q @ sinp
@@ -410,8 +410,8 @@ def induced_recip_term(state: SystemState, flags: FFlags, params: RunParams,
     k, k2 = kvectors(state, flags.ewald_kmax)
     alive = state.atom_alive()
     mu_m = jnp.where(alive[:, None], mu, 0.0)
-    phase = state.pos @ k.T                      # [A,K]
-    kmu = mu_m @ k.T                             # [A,K]
+    phase = phase_dot(state.pos, k)              # [A,K]
+    kmu = phase_dot(mu_m, k)                     # [A,K]
     Pcos = jnp.sum(kmu * jnp.cos(phase), axis=0) # [K]
     Psin = jnp.sum(kmu * jnp.sin(phase), axis=0)
     w = 8.0 * const.pi / state.pbc.volume * jnp.exp(-k2 / (4 * a * a)) / k2

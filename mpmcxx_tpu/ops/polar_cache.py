@@ -112,7 +112,7 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
 
     if flags.polar_ewald:
         k, _ = kvectors(state, flags.ewald_kmax)
-        phase = state.pos @ k.T                       # [A,K]
+        phase = phase_dot(state.pos, k)               # [A,K]
         cos64, sin64 = jnp.cos(phase), jnp.sin(phase)
         q = jnp.where(state.atom_alive(), state.charge, 0.0)
         f1, f2 = q @ cos64, q @ sin64
