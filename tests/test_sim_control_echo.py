@@ -23,6 +23,13 @@ AR_LINE = ("ATOM      1 Ar   Ar  M    1      0.000   0.000   0.000 "
 H2_LINE = ("ATOM      1 H2   H2  M    1      0.000   0.000   0.000 "
            "2.01600  0.00000  0.00000 34.20000  2.96000  0.00000  "
            "0.00000\nEND\n")
+CO2_LINES = (
+    "ATOM      1 CC   CO2 M    1      0.000   0.000   0.000 12.01100  "
+    "0.65120  1.22810  8.52000  3.05500  0.00000  0.00000\n"
+    "ATOM      2 OC   CO2 M    1      1.162   0.000   0.000 15.99900 "
+    "-0.32560  0.73950 76.76000  2.99000  0.00000  0.00000\n"
+    "ATOM      3 OC   CO2 M    1     -1.162   0.000   0.000 15.99900 "
+    "-0.32560  0.73950 76.76000  2.99000  0.00000  0.00000\nEND\n")
 
 
 def _echo(sim, n_systems=1):
@@ -58,6 +65,19 @@ class TestSimControlEcho:
         from mpmcxx_tpu.runner import Simulation
         sim = Simulation(read_config("run.in"), quiet=True)
         assert _echo(sim) == _fixture("gcmc_mof_h2.txt")
+
+    def test_gcmc_mof_co2(self, tmp_path, monkeypatch):
+        """Multi-site CO2 example (fixture captured from the reference
+        binary on this run.in minus the polar_mixed extension keyword,
+        which the reference does not know; our echo does not print it)."""
+        monkeypatch.chdir(tmp_path)
+        src = open(os.path.join(REPO, "examples", "gcmc-mof-co2",
+                                "run.in")).read()
+        open("run.in", "w").write(src)
+        open("mof_co2.pqr", "w").write(CO2_LINES)
+        from mpmcxx_tpu.runner import Simulation
+        sim = Simulation(read_config("run.in"), quiet=True)
+        assert _echo(sim) == _fixture("gcmc_mof_co2.txt")
 
     def test_gibbs_argon(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
