@@ -103,8 +103,9 @@ def _pick_b_sym(A: int):
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
+                        block=None):
     """-T mu reading (close to) only the upper triangle of the planes.
 
     T is symmetric: T_ij = co d (x) d + cd I with d antisymmetric entering
@@ -128,7 +129,7 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     A = co.shape[0]
-    b = _pick_b_sym(A)
+    b = block if block else _pick_b_sym(A)
     nr = A // b
     nc2 = nr // 2 + 1
     even = (nr % 2 == 0)
@@ -196,11 +197,18 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False):
 
     plane = pl.BlockSpec((b, b), lambda i, c: (i, wrap(i, c)),
                          memory_space=pltpu.VMEM)
+    extra = {}
+    if b >= 1024:
+        # 5 double-buffered b x b f32 planes exceed Mosaic's default VMEM
+        # budget at b=1024 (~42 MB); v5e has 128 MB
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     out_row, out_col = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((A, 128), jnp.float32),
                    jax.ShapeDtypeStruct((nc2, 8, A), jnp.float32)),
         grid=grid,
+        **extra,
         in_specs=[
             pl.BlockSpec((8, b), lambda i, c: (i * 0, wrap(i, c)),
                          memory_space=pltpu.VMEM),
