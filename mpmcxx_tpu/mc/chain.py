@@ -14,6 +14,7 @@ mirroring do_corrtime_bookkeeping (src/System.MonteCarlo.cpp:1902-2028).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -593,11 +594,20 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
 
 def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
-                      chunk_steps: int, topology=None):
-    """Jitted corrtime-chunk: scan `chunk_steps` MC steps."""
+                      chunk_steps: int, topology=None, donate: bool = False):
+    """Jitted corrtime-chunk: scan `chunk_steps` MC steps.
+
+    ``donate=True`` donates the carry to the chunk so XLA aliases the big
+    polar-cache planes in place at the jit boundary — otherwise every
+    chunk call starts by copying them (~2.5 GB, ~8 ms at the flagship
+    scale).  The caller must not touch the old carry afterwards.  NOTE:
+    on the remote axon TPU backend donating the flagship-sized carry
+    fails at dispatch with INVALID_ARGUMENT (measured, with and without
+    the Pallas commit kernel), so nothing enables this there; it is
+    kept for direct-attached TPU runtimes."""
     step = make_step_fn(flags, params, opts, topology=topology)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_chunk(carry: MCCarry):
         return jax.lax.scan(step, carry, None, length=chunk_steps)
 

@@ -118,13 +118,15 @@ def insert_rows(state: SystemState, key, tmpl_rows, slot_rows, row_mask,
     slot_c = jnp.maximum(slot, 0)
     alive = update_rows(state.mol_alive, slot_c,
                         jnp.where(valid, True, state.mol_alive[slot_c])[None])
+    aalive = jnp.where((state.mol_id == slot_c) & valid, True, state.aalive)
     # the inserted copy inherits the template's nuclear spin (the reference
     # deep-copies the whole molecule, src/System.MonteCarlo.cpp:502)
     tmpl_mol = state.mol_id[jnp.clip(tmpl_rows[0], 0, A - 1)]
     spin = update_rows(state.nuclear_spin, slot_c,
                        jnp.where(valid, state.nuclear_spin[tmpl_mol],
                                  state.nuclear_spin[slot_c])[None])
-    return state.replace(pos=pos, mol_alive=alive, nuclear_spin=spin), valid
+    return state.replace(pos=pos, mol_alive=alive, aalive=aalive,
+                         nuclear_spin=spin), valid
 
 
 def displace(state: SystemState, key, mol, move_factor, rot_factor
@@ -213,10 +215,12 @@ def insert(state: SystemState, key, template_mol, dead_slot, com=None
     pos = jnp.where((slot_sel & valid)[:, None], newpos, state.pos)
     alive = state.mol_alive.at[slot].set(
         jnp.where(valid, True, state.mol_alive[slot]))
+    aalive = jnp.where(slot_sel & valid, True, state.aalive)
     spin = state.nuclear_spin.at[slot].set(
         jnp.where(valid, state.nuclear_spin[template_mol],
                   state.nuclear_spin[slot]))
-    return state.replace(pos=pos, mol_alive=alive, nuclear_spin=spin), valid
+    return state.replace(pos=pos, mol_alive=alive, aalive=aalive,
+                         nuclear_spin=spin), valid
 
 
 def find_dead_slot(state: SystemState, species):
@@ -231,9 +235,11 @@ def find_dead_slot(state: SystemState, species):
 def remove(state: SystemState, mol) -> SystemState:
     """(src/System.MonteCarlo.cpp:836-859)"""
     from ..ops.pairwise import update_rows
-    return state.replace(mol_alive=update_rows(
-        state.mol_alive, jnp.asarray(mol, jnp.int32),
-        jnp.zeros(1, dtype=bool)))
+    mol = jnp.asarray(mol, jnp.int32)
+    return state.replace(
+        mol_alive=update_rows(state.mol_alive, mol,
+                              jnp.zeros(1, dtype=bool)),
+        aalive=jnp.where(state.mol_id == mol, False, state.aalive))
 
 
 def volume_change(state: SystemState, key, volume_change_factor

@@ -93,6 +93,74 @@ def supported(A: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# in-place adjacent-column window write (polar-cache commits)
+# ---------------------------------------------------------------------------
+
+def col_write_supported(A: int, S: int) -> bool:
+    return A % 128 == 0 and A // 128 >= 2 and 2 <= S <= 128
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_columns_pallas(plane, cols, cstart, interpret=False):
+    """plane[:, cstart + s] = cols[:, s] for s < S, in place.
+
+    The polar-cache commit writes S adjacent columns of each [A,A] f32
+    plane (the symmetric image of the moved molecule's row strip,
+    ops.polar_cache.write_symmetric_rows).  As separate [A,1]
+    dynamic_update_slice ops each write read-modify-writes the full
+    128-lane tile band the column lives in (~2 x A x 128 x 4 B of HBM
+    traffic **per column**, ~25 us each at A=11264); since the S columns
+    of one molecule share that band, one streaming pass over it writes
+    them all for the cost of one.  input_output_aliases keeps the rest
+    of the plane untouched in HBM (the same in-place contract as the
+    dynamic_update_slice chain it replaces).
+
+    The band is two 128-lane tiles anchored at ``min(cstart // 128,
+    A//128 - 2)`` so any S <= 128 window fits, wherever it straddles a
+    tile boundary.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A = plane.shape[0]
+    S = cols.shape[1]
+    br = 512
+    while A % br:
+        br //= 2
+    nlt = A // 128
+    cstart = cstart.astype(jnp.int32)
+    t = jnp.minimum(cstart // jnp.int32(128), jnp.int32(nlt - 2))
+    scal = jnp.stack([t, cstart - t * jnp.int32(128)])
+
+    def kernel(sref, cols_ref, plane_ref, out_ref):
+        k = pl.program_id(1)
+        c = sref[1] - k * 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+        out = plane_ref[:]
+        for s in range(S):
+            out = jnp.where(lane == c + s, cols_ref[:, s:s + 1], out)
+        out_ref[:] = out
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(A // br, 2),
+        in_specs=[
+            pl.BlockSpec((br, S), lambda i, k, sref: (i, k * 0)),
+            pl.BlockSpec((br, 128), lambda i, k, sref: (i, sref[0] + k)),
+        ],
+        out_specs=pl.BlockSpec((br, 128),
+                               lambda i, k, sref: (i, sref[0] + k)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, A), jnp.float32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(scal, cols, plane)
+
+
+# ---------------------------------------------------------------------------
 # symmetric contraction: read each unordered tile pair once
 # ---------------------------------------------------------------------------
 

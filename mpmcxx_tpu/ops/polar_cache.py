@@ -169,6 +169,7 @@ def write_symmetric_rows(plane, rows_plane, start, valid, sign: float):
     cur = jax.lax.dynamic_slice(plane, (start, z), (S, A))
     blend = jnp.where(valid[:, None], rows_plane, cur)
     plane = jax.lax.dynamic_update_slice(plane, blend, (start, z))
+    cols = []
     for s in range(S):
         _s = jnp.asarray(s, jnp.int32)
         # desired column start+s: sign*blend[s] where the column is valid,
@@ -179,9 +180,17 @@ def write_symmetric_rows(plane, rows_plane, start, valid, sign: float):
             blend, (z, start + _s), (S, 1))[:, 0]                  # [S]
         win_val = jax.lax.dynamic_slice(colv, (start,), (S,))
         patch = jnp.where(valid[s], win_val, win_cur)
-        colv = jax.lax.dynamic_update_slice(colv, patch, (start,))
-        plane = jax.lax.dynamic_update_slice(plane, colv[:, None],
-                                             (z, start + _s))
+        cols.append(jax.lax.dynamic_update_slice(colv, patch, (start,)))
+    from . import pallas_polar
+    if jax.default_backend() not in ("cpu",) and \
+            pallas_polar.col_write_supported(A, S):
+        # one streaming pass writes all S adjacent columns; S separate
+        # [A,1] updates each RMW the same 128-lane tile band
+        return pallas_polar.write_columns_pallas(
+            plane, jnp.stack(cols, axis=1), start)
+    for s in range(S):
+        plane = jax.lax.dynamic_update_slice(
+            plane, cols[s][:, None], (z, start + jnp.asarray(s, jnp.int32)))
     return plane
 
 

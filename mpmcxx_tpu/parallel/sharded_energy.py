@@ -121,9 +121,9 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
         # (the row slice differs per device)
         def vary(x):
             try:
-                return jax.lax.pvary(x, (axis,))
-            except AttributeError:  # older jax
                 return jax.lax.pcast(x, (axis,), to="varying")
+            except AttributeError:  # older jax spells it pvary
+                return jax.lax.pvary(x, (axis,))
 
         (rd, es, pen), _ = jax.lax.scan(
             body, (vary(jnp.zeros(())), vary(jnp.zeros(())),

@@ -195,6 +195,10 @@ class Simulation:
             w = np.nonzero(mol_id_arr == mm)[0]
             starts[mm] = w[0] if len(w) else 0
         self.topology = (starts, counts.astype(np.int32))
+        # no donate=True here: Simulation keeps host-side reads of
+        # self.state's (shared) buffers alive across chunks
+        # (_particle_mass, dipole reporting), which donation would
+        # invalidate; the entry copy amortizes over a full corrtime.
         self.run_chunk = chain_mod.make_chunk_runner(
             self.flags, self.params, self.opts, cfg.corrtime,
             topology=self.topology)

@@ -107,3 +107,26 @@ class TestContractKernel:
                                jnp.sum(s * dz + cd * mz, 1)], 1)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestColumnWriteKernel:
+    def test_column_window_write_matches_dus(self):
+        """In-place S-column window write: bit-identical to the S separate
+        [A,1] dynamic_update_slice ops it replaces, at every window
+        placement class (interior, 128-lane tile straddle, array tail)."""
+        from mpmcxx_tpu.ops import pallas_polar
+        rng = np.random.default_rng(7)
+        A, S = 512, 3
+        assert pallas_polar.col_write_supported(A, S)
+        plane = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
+        cols = jnp.asarray(rng.normal(size=(A, S)), jnp.float32)
+        for start in (0, 17, 126, 127, 128, 255, 383, A - S):
+            got = pallas_polar.write_columns_pallas(
+                plane, cols, jnp.asarray(start, jnp.int32), interpret=True)
+            want = plane
+            for s in range(S):
+                want = jax.lax.dynamic_update_slice(
+                    want, cols[:, s:s + 1],
+                    (jnp.zeros((), jnp.int32), jnp.asarray(start + s,
+                                                           jnp.int32)))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
