@@ -100,8 +100,8 @@ def col_write_supported(A: int, S: int) -> bool:
     return A % 128 == 0 and A // 128 >= 2 and 2 <= S <= 128
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def write_columns_pallas(plane, cols, cstart, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "br"))
+def write_columns_pallas(plane, cols, cstart, interpret=False, br=None):
     """plane[:, cstart + s] = cols[:, s] for s < S, in place.
 
     The polar-cache commit writes S adjacent columns of each [A,A] f32
@@ -124,9 +124,13 @@ def write_columns_pallas(plane, cols, cstart, interpret=False):
 
     A = plane.shape[0]
     S = cols.shape[1]
-    br = 512
-    while A % br:
-        br //= 2
+    if br is None:
+        # largest row block dividing A: fewer grid steps amortize per-tile
+        # overhead (178 vs 194 us/call at A=11264 standalone); br=5632
+        # overflows the 16 MB scoped-vmem stack, so cap well below
+        for br in (2816, 2048, 1408, 1024, 512, 256, 128):
+            if A % br == 0:
+                break
     nlt = A // 128
     cstart = cstart.astype(jnp.int32)
     t = jnp.minimum(cstart // jnp.int32(128), jnp.int32(nlt - 2))
