@@ -1,11 +1,13 @@
 """Pallas TPU kernel: fused mixed-precision SCF dipole contraction.
 
 The hot op of polarizable MC (ops.polar.contract_mixed): per SCF iteration,
-ef_i = -sum_j [ co_ij d_ij (d_ij . mu_j) + cd_ij mu_j ] over five [A,A]
-float32 planes.  XLA evaluates this as several elementwise+reduce passes
-(~31 ms at A=10240 on v5e); this kernel streams every plane through VMEM
-exactly once — elementwise VPU math + lane reduction, accumulated across
-column tiles — which is HBM-bandwidth bound (~2 GB/pass).
+ef_i = -sum_j [ -s_ij (s_ij . mu_j) + cd_ij mu_j ] over FOUR [A,A] float32
+planes (s = sqrt(-c_outer) d, ops.polar.fold_outer_rows; polar_wolf_full
+keeps the unfolded 5-plane form co d (d.mu) + cd mu).  XLA evaluates this
+as several elementwise+reduce passes (~31 ms at A=10240 on v5e); this
+kernel streams every plane through VMEM exactly once — elementwise VPU
+math + lane reduction, accumulated across column tiles — which is
+HBM-bandwidth bound (~1.6 GB/pass at 4 planes).
 
 All math is true float32 on the VPU: no matmuls, so the silent-bf16 MXU
 trap (see ops/pallas_cavity.py) never applies.  Index maps use i*0 rather
@@ -34,19 +36,25 @@ def _pick_bc(A: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def contract_pallas(co, cd, dx, dy, dz, mu, interpret=False):
-    """-T mu over [A,A] f32 planes; A must be a multiple of 128."""
+def contract_pallas(planes, mu, interpret=False):
+    """-T mu over the 4- or 5-tuple of [A,A] f32 planes
+    (ops.polar.fold_outer_rows); A must be a multiple of 128."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    A = co.shape[0]
+    has_co = len(planes) == 5
+    A = planes[0].shape[0]
     bc = _pick_bc(A)
     grid = (A // BR, A // bc)
 
     m = mu.astype(jnp.float32).T             # [3,A] host-side transpose
     m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m)
 
-    def kernel(mu_ref, co_ref, cd_ref, dx_ref, dy_ref, dz_ref, out_ref):
+    def kernel(mu_ref, *refs):
+        if has_co:
+            co_ref, cd_ref, dx_ref, dy_ref, dz_ref, out_ref = refs
+        else:
+            cd_ref, dx_ref, dy_ref, dz_ref, out_ref = refs
         j = pl.program_id(1)
         mx = mu_ref[0:1, :]
         my = mu_ref[1:2, :]
@@ -55,7 +63,8 @@ def contract_pallas(co, cd, dx, dy, dz, mu, interpret=False):
         dyv = dy_ref[:]
         dzv = dz_ref[:]
         cdv = cd_ref[:]
-        s = co_ref[:] * (dxv * mx + dyv * my + dzv * mz)
+        dot = dxv * mx + dyv * my + dzv * mz
+        s = co_ref[:] * dot if has_co else -dot
         ex = jnp.sum(s * dxv + cdv * mx, axis=1, keepdims=True)
         ey = jnp.sum(s * dyv + cdv * my, axis=1, keepdims=True)
         ez = jnp.sum(s * dzv + cdv * mz, axis=1, keepdims=True)
@@ -79,12 +88,11 @@ def contract_pallas(co, cd, dx, dy, dz, mu, interpret=False):
         in_specs=[
             pl.BlockSpec((8, bc), lambda i, j: (i * 0, j),
                          memory_space=pltpu.VMEM),
-            plane, plane, plane, plane, plane,
-        ],
+        ] + [plane] * len(planes),
         out_specs=pl.BlockSpec((BR, 128), lambda i, j: (i, j * 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(m8, co, cd, dx, dy, dz)
+    )(m8, *planes)
     return -out[:, :3].astype(jnp.float64)
 
 
@@ -176,9 +184,9 @@ def _pick_b_sym(A: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
-def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
-                        block=None):
-    """-T mu reading (close to) only the upper triangle of the planes.
+def contract_pallas_sym(planes, mu, interpret=False, block=None):
+    """-T mu reading (close to) only the upper triangle of the 4- or
+    5-tuple of planes (ops.polar.fold_outer_rows).
 
     T is symmetric: T_ij = co d (x) d + cd I with d antisymmetric entering
     quadratically, so the contraction can stream each unordered tile pair
@@ -200,7 +208,8 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    A = co.shape[0]
+    has_co = len(planes) == 5
+    A = planes[0].shape[0]
     b = block if block else _pick_b_sym(A)
     nr = A // b
     nc2 = nr // 2 + 1
@@ -211,8 +220,12 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
     m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m.T)     # lanes-major
     mT = jnp.zeros((A, 128), jnp.float32).at[:, :3].set(m)  # sublane-major
 
-    def kernel(mu_col_ref, mu_rowT_ref, co_ref, cd_ref, dx_ref, dy_ref,
-               dz_ref, out_row_ref, out_col_ref):
+    def kernel(mu_col_ref, mu_rowT_ref, *refs):
+        if has_co:
+            (co_ref, cd_ref, dx_ref, dy_ref, dz_ref,
+             out_row_ref, out_col_ref) = refs
+        else:
+            cd_ref, dx_ref, dy_ref, dz_ref, out_row_ref, out_col_ref = refs
         c = pl.program_id(1)
         w = jnp.float32(1.0)
         if even:
@@ -224,11 +237,11 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
         dxv = dx_ref[:]
         dyv = dy_ref[:]
         dzv = dz_ref[:]
-        cov = co_ref[:]
         cdv = cd_ref[:]
 
         # ef_i += T_ij mu_j  (reduce over lanes)
-        s = cov * (dxv * mxj + dyv * myj + dzv * mzj)
+        dot = dxv * mxj + dyv * myj + dzv * mzj
+        s = co_ref[:] * dot if has_co else -dot
         ex = jnp.sum(s * dxv + cdv * mxj, axis=1, keepdims=True) * w
         ey = jnp.sum(s * dyv + cdv * myj, axis=1, keepdims=True) * w
         ez = jnp.sum(s * dzv + cdv * mzj, axis=1, keepdims=True) * w
@@ -249,7 +262,8 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
         myi = mu_rowT_ref[:, 1:2]
         mzi = mu_rowT_ref[:, 2:3]
         wc = jnp.where(c == 0, jnp.float32(0.0), w)
-        s2 = cov * (dxv * mxi + dyv * myi + dzv * mzi)
+        dot2 = dxv * mxi + dyv * myi + dzv * mzi
+        s2 = co_ref[:] * dot2 if has_co else -dot2
         gx = jnp.sum(s2 * dxv + cdv * mxi, axis=0, keepdims=True) * wc
         gy = jnp.sum(s2 * dyv + cdv * myi, axis=0, keepdims=True) * wc
         gz = jnp.sum(s2 * dzv + cdv * mzi, axis=0, keepdims=True) * wc
@@ -286,14 +300,13 @@ def contract_pallas_sym(co, cd, dx, dy, dz, mu, interpret=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 128), lambda i, c: (i, c * 0),
                          memory_space=pltpu.VMEM),
-            plane, plane, plane, plane, plane,
-        ],
+        ] + [plane] * len(planes),
         out_specs=(pl.BlockSpec((b, 128), lambda i, c: (i, c * 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 8, b), lambda i, c: (c, i * 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(m8, mT, co, cd, dx, dy, dz)
+    )(m8, mT, *planes)
 
     # fold the transpose contributions: plane c's source block i targets
     # column block (i+c) % nr -> roll right by c*b and sum over c

@@ -606,11 +606,33 @@ def mixed_coeff_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
     return c_outer, c_diag
 
 
+def fold_outer_rows(co, cd, d32x, d32y, d32z, flags: FFlags):
+    """Fold the outer coefficient into the displacement planes when its
+    sign is fixed: returns 4 planes ``(cd, sx, sy, sz)`` with
+    ``s = sqrt(-c_outer) d``, so the contraction term ``co d (d.mu)``
+    becomes ``-s (s.mu)`` and the SCF streams FOUR f32 planes instead of
+    five — 20% less HBM traffic on the bandwidth-bound hot op.
+
+    ``c_outer = -3 damp2 / r^5 <= 0`` for every damping variant (damp2 is
+    in [0,1]: off/linear by construction, exponential because
+    ``e^-x (1+x+x^2/2+x^3/6) <= 1``); only the polar_wolf_full correction
+    ``+3 wdamp2 / (r^2 rcut^3)`` (src/System.Energy.cpp:2728-2742) can
+    flip the sign at small r, so that mode keeps the 5-plane form.  ``s``
+    inherits d's antisymmetry (sqrt(-co) is symmetric), so the cache's
+    row/column symmetry machinery is unchanged.  The max(.,0) guards
+    rounding: damp2 may round to -1 ulp where it vanishes.
+    """
+    if flags.polar_wolf_full:
+        return co, cd, d32x, d32y, d32z
+    w = jnp.sqrt(jnp.maximum(-co, jnp.float32(0.0)))
+    return cd, w * d32x, w * d32y, w * d32z
+
+
 def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
                        block: int = 128):
     """One-time float32 pair coefficients for the mixed-precision SCF,
-    fused with the static field: returns ((c_outer, c_diag, dimg_f32),
-    E_static).
+    fused with the static field: returns ((c_outer?, c_diag, dimg_f32),
+    E_static) — the 4- or 5-plane tuple of fold_outer_rows.
 
     The dipole-field contraction T mu depends on mu only through two
     einsums; everything geometric (minimum image, Thole damping, wolf
@@ -643,48 +665,48 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
         else:
             e = thole_field_nopbc(state, pt)
         d32 = pt.dimg.astype(jnp.float32)
-        return None, (c_outer, c_diag, d32[..., 0], d32[..., 1],
-                      d32[..., 2], e)
+        planes = fold_outer_rows(c_outer, c_diag, d32[..., 0],
+                                 d32[..., 1], d32[..., 2], flags)
+        return None, (planes, e)
 
-    _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
-    co = assemble_tiles(co, A, block)
-    cd = assemble_tiles(cd, A, block)
-    dx = assemble_tiles(dx, A, block)
-    dy = assemble_tiles(dy, A, block)
-    dz = assemble_tiles(dz, A, block)
+    _, (planes, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    planes = tuple(assemble_tiles(p, A, block) for p in planes)
     E = assemble_tiles(e, A, block)
     if flags.polar_ewald:
         E = E + recip_term(state, flags, params)
     E = jnp.where(state.atom_alive()[:, None], E, 0.0)
-    return (co, cd, dx, dy, dz), E
+    return planes, E
 
 
 def contract_mixed(coeffs, mu):
-    """ef_induced = -T mu from precomputed f32 coefficients.
+    """ef_induced = -T mu from precomputed f32 coefficients — the 4-plane
+    ``(cd, sx, sy, sz)`` or 5-plane ``(co, cd, dx, dy, dz)`` tuple of
+    fold_outer_rows.
 
-    The displacements are stored as three [A,A] component planes rather
-    than one [A,A,3] tensor: a trailing length-3 axis tiles terribly on
+    The displacements are stored as [A,A] component planes rather than
+    one [A,A,3] tensor: a trailing length-3 axis tiles terribly on
     the TPU lane dimension, while [A,A] planes make the whole contraction
     a fused elementwise + lane-reduction pass.  All math is true f32
     (never the MXU bf16 default), accumulated outputs cast back to f64.
     """
-    co, cd, dx, dy, dz = coeffs
+    co = coeffs[0] if len(coeffs) == 5 else None
+    cd, dx, dy, dz = coeffs[-4:]
     if jax.default_backend() not in ("cpu",):
         from . import pallas_polar
         # square planes only: row-sharded callers (parallel.sharded_energy)
         # pass rectangular [A_local, A] slices, which take the XLA path
-        if co.shape[0] == co.shape[1] and pallas_polar.supported(co.shape[0]):
+        if cd.shape[0] == cd.shape[1] and pallas_polar.supported(cd.shape[0]):
             import os
             # T is symmetric: the triangle kernel reads ~half the bytes
             # (this op is HBM-bound); MPMCXX_SYM_KERNEL=0 falls back
-            if pallas_polar._pick_b_sym(co.shape[0]) and \
+            if pallas_polar._pick_b_sym(cd.shape[0]) and \
                     os.environ.get("MPMCXX_SYM_KERNEL", "1") != "0":
-                return pallas_polar.contract_pallas_sym(co, cd, dx, dy, dz,
-                                                        mu)
-            return pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu)
+                return pallas_polar.contract_pallas_sym(coeffs, mu)
+            return pallas_polar.contract_pallas(coeffs, mu)
     m = mu.astype(jnp.float32)
     mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
-    s = co * (dx * mx + dy * my + dz * mz)
+    dot = dx * mx + dy * my + dz * mz
+    s = -dot if co is None else co * dot
     ex = jnp.sum(s * dx + cd * mx, axis=1)
     ey = jnp.sum(s * dy + cd * my, axis=1)
     ez = jnp.sum(s * dz + cd * mz, axis=1)

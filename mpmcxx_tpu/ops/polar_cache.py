@@ -9,8 +9,11 @@ O(S*A) (S = atoms of the moved molecule), so the per-move polarization
 cost collapses to the SCF contractions themselves:
 
 - ``co``/``cd``/``d``: the float32 dipole-contraction coefficients of
-  ops.polar.mixed_field_coeffs.  Row updates are exact (the same formula
-  recomputed for the moved rows); columns follow by symmetry, so the
+  ops.polar.mixed_field_coeffs in the folded representation of
+  ops.polar.fold_outer_rows — FOUR planes ``(cd, s=sqrt(-co) d)`` in the
+  common case (co's sign is fixed), five under polar_wolf_full.  Row
+  updates are exact (the same formula recomputed for the moved rows);
+  columns follow by symmetry (cd symmetric, s antisymmetric), so the
   arrays stay bit-identical to a full rebuild.
 - ``e_pair``: the pairwise (ewald-real / wolf / nopbc) static field, f64.
   A move shifts every atom's field by the moved atoms' old/new source
@@ -45,11 +48,15 @@ from .pairwise import (assemble_tiles, build_pairs_rect,
 
 
 class PolarCache(NamedTuple):
-    co: jnp.ndarray      # [A,A] f32 outer-product coefficient
+    co: jnp.ndarray      # [A,A] f32 outer-product coefficient — [0,0]
+    #                      placeholder except under polar_wolf_full: the
+    #                      common case folds sqrt(-co) into the
+    #                      displacement planes (ops.polar.fold_outer_rows)
+    #                      so the SCF streams 4 planes, not 5
     cd: jnp.ndarray      # [A,A] f32 diagonal coefficient
-    dx: jnp.ndarray      # [A,A] f32 minimum-image displacement planes
-    dy: jnp.ndarray      # (three [A,A] planes tile the TPU lane axis;
-    dz: jnp.ndarray      #  an [A,A,3] tensor would not)
+    dx: jnp.ndarray      # [A,A] f32 (scaled) minimum-image displacement
+    dy: jnp.ndarray      # planes (three [A,A] planes tile the TPU lane
+    dz: jnp.ndarray      #  axis; an [A,A,3] tensor would not)
     e_pair: jnp.ndarray  # [A,3] f64 pairwise static field
     cosp: jnp.ndarray    # [A,K] f32 cos(k.r_i)  (K=0 when not polar_ewald)
     sinp: jnp.ndarray    # [A,K] f32 sin(k.r_i)
@@ -63,12 +70,22 @@ def empty_cache() -> PolarCache:
                       z2, z2, jnp.zeros(0), jnp.zeros(0))
 
 
+def planes_of(cache: PolarCache):
+    """The cache's contraction-plane tuple in ops.polar.contract_mixed
+    form: 4 planes ``(cd, sx, sy, sz)`` in the folded common case
+    (``co`` is the [0,0] placeholder), 5 under polar_wolf_full."""
+    if cache.co.size == 0:
+        return (cache.cd, cache.dx, cache.dy, cache.dz)
+    return (cache.co, cache.cd, cache.dx, cache.dy, cache.dz)
+
+
 def supports(flags: FFlags, n_atom_slots: int = 0) -> bool:
     """True when polarization can ride the incremental cache (and the rest
     of the energy is pairwise + k-space, as ops.delta requires).
 
-    ``n_atom_slots``: when given, also require the five float32 [A,A]
-    planes to fit comfortably in one chip's HBM (~20 A^2 bytes; capped at
+    ``n_atom_slots``: when given, also require the four (five under
+    polar_wolf_full) float32 [A,A] planes to fit comfortably in one
+    chip's HBM (~16-20 A^2 bytes; capped at
     ~5.6 GB / 16k slots so a proposal + commit never approaches the v5e's
     16 GB — a previous [B,A,3,3] OOM took the TPU worker down for half an
     hour)."""
@@ -100,14 +117,17 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
         f = polar_mod.field_scalars(state, pt, flags, params)
         e = rows_field(f, state.charge, pt.dimg)
         d32 = pt.dimg.astype(jnp.float32)
-        return None, (co, cd, d32[..., 0], d32[..., 1], d32[..., 2], e)
+        planes = polar_mod.fold_outer_rows(co, cd, d32[..., 0],
+                                           d32[..., 1], d32[..., 2], flags)
+        return None, (planes, e)
 
-    _, (co, cd, dx, dy, dz, e) = jax.lax.scan(body, None, jnp.arange(nb))
-    co = assemble_tiles(co, A, block)
-    cd = assemble_tiles(cd, A, block)
-    dx = assemble_tiles(dx, A, block)
-    dy = assemble_tiles(dy, A, block)
-    dz = assemble_tiles(dz, A, block)
+    _, (planes, e) = jax.lax.scan(body, None, jnp.arange(nb))
+    planes = tuple(assemble_tiles(p, A, block) for p in planes)
+    if len(planes) == 4:       # common case: co folded into s = sqrt(-co) d
+        co = jnp.zeros((0, 0), jnp.float32)
+        cd, dx, dy, dz = planes
+    else:                      # polar_wolf_full: sign-indefinite c_outer
+        co, cd, dx, dy, dz = planes
     e = assemble_tiles(e, A, block)
 
     if flags.polar_ewald:
@@ -243,7 +263,9 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     # --- contraction coefficients (rows exact, columns by symmetry) ------
     co_rows, cd_rows = polar_mod.mixed_coeff_scalars(new_state, pt_new,
                                                      flags, params)
-    d_rows = pt_new.dimg.astype(jnp.float32)
+    d32 = pt_new.dimg.astype(jnp.float32)
+    rowp = polar_mod.fold_outer_rows(co_rows, cd_rows, d32[..., 0],
+                                     d32[..., 1], d32[..., 2], flags)
 
     # Molecule atoms are contiguous (build_state file order; the chain's
     # rows_of gathers preserve that), so the plane updates are
@@ -255,11 +277,17 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     start = start_w
     z = jnp.zeros((), jnp.int32)
 
-    co = write_symmetric_rows(cache.co, co_rows, start, valid, 1.0)
+    if len(rowp) == 4:
+        co = cache.co                      # [0,0] placeholder, untouched
+        cd_rows, sx_rows, sy_rows, sz_rows = rowp
+    else:
+        co_rows, cd_rows, sx_rows, sy_rows, sz_rows = rowp
+        co = write_symmetric_rows(cache.co, co_rows, start, valid, 1.0)
     cd = write_symmetric_rows(cache.cd, cd_rows, start, valid, 1.0)
-    dx = write_symmetric_rows(cache.dx, d_rows[..., 0], start, valid, -1.0)
-    dy = write_symmetric_rows(cache.dy, d_rows[..., 1], start, valid, -1.0)
-    dz = write_symmetric_rows(cache.dz, d_rows[..., 2], start, valid, -1.0)
+    # s = sqrt(-co) d inherits d's antisymmetry (sign=-1)
+    dx = write_symmetric_rows(cache.dx, sx_rows, start, valid, -1.0)
+    dy = write_symmetric_rows(cache.dy, sy_rows, start, valid, -1.0)
+    dz = write_symmetric_rows(cache.dz, sz_rows, start, valid, -1.0)
 
     # --- k-space phases / charge structure factors -----------------------
     if flags.polar_ewald:
@@ -297,11 +325,11 @@ class CommitData(NamedTuple):
     start: jnp.ndarray    # window start (i32)
     valid: jnp.ndarray    # [S] bool
     e_pair: jnp.ndarray   # [A,3] f64 pairwise static field (no recip)
-    co: jnp.ndarray       # [S,A] f32 row blocks (invalid rows zeroed)
-    cd: jnp.ndarray
-    dx: jnp.ndarray
-    dy: jnp.ndarray
-    dz: jnp.ndarray
+    co: jnp.ndarray       # [S,A] f32 row blocks in the cache's folded
+    cd: jnp.ndarray       # representation (co is the [0,0] placeholder
+    dx: jnp.ndarray       # except under polar_wolf_full; dx/dy/dz hold
+    dy: jnp.ndarray       # s = sqrt(-co) d rows in the folded case);
+    dz: jnp.ndarray       # invalid rows zeroed
     f1: jnp.ndarray       # [K] f64 updated structure factors
     f2: jnp.ndarray
     cosp: jnp.ndarray     # [S,K] f64 new-row phases
@@ -381,64 +409,68 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     E_static = jnp.where(new_state.atom_alive()[:, None], e, 0.0)
 
     # --- row blocks, new (from geometry) and old (gathered from cache) ---
+    # both sides live in the cache's folded representation
+    # (ops.polar.fold_outer_rows): 4 row blocks in the common case
     co_n, cd_n = polar_mod.mixed_coeff_scalars(new_state, pt_new, flags,
                                                params)
     d_n = pt_new.dimg.astype(jnp.float32)
     vm = valid[:, None]
-    co_n = jnp.where(vm, co_n, 0.0)
-    cd_n = jnp.where(vm, cd_n, 0.0)
-    dxn = jnp.where(vm, d_n[..., 0], 0.0)
-    dyn = jnp.where(vm, d_n[..., 1], 0.0)
-    dzn = jnp.where(vm, d_n[..., 2], 0.0)
-    co_o = jnp.where(vm, rows_of(cache.co), 0.0)
-    cd_o = jnp.where(vm, rows_of(cache.cd), 0.0)
-    dxo = jnp.where(vm, rows_of(cache.dx), 0.0)
-    dyo = jnp.where(vm, rows_of(cache.dy), 0.0)
-    dzo = jnp.where(vm, rows_of(cache.dz), 0.0)
+    rows_new = tuple(jnp.where(vm, p, 0.0) for p in polar_mod.fold_outer_rows(
+        co_n, cd_n, d_n[..., 0], d_n[..., 1], d_n[..., 2], flags))
+    rows_old = tuple(jnp.where(vm, rows_of(p), 0.0)
+                     for p in planes_of(cache))
 
     def contract_fn(m):
-        base = polar_mod.contract_mixed(
-            (cache.co, cache.cd, cache.dx, cache.dy, cache.dz), m)
+        base = polar_mod.contract_mixed(planes_of(cache), m)
         m32 = m.astype(jnp.float32)
         mx = m32[:, 0][None, :]
         my = m32[:, 1][None, :]
         mz = m32[:, 2][None, :]
         mu_r = jnp.where(vm, rows_of(m32), 0.0)              # [S,3]
 
-        def row_ef(co_b, cd_b, dxb, dyb, dzb):
+        def row_ef(blocks):
             # field AT the row atoms from everyone: -(sum_j M_sj mu_j)
-            s = co_b * (dxb * mx + dyb * my + dzb * mz)
+            co_b = blocks[0] if len(blocks) == 5 else None
+            cd_b, dxb, dyb, dzb = blocks[-4:]
+            dot = dxb * mx + dyb * my + dzb * mz
+            s = -dot if co_b is None else co_b * dot
             ex = jnp.sum(s * dxb + cd_b * mx, axis=1)
             ey = jnp.sum(s * dyb + cd_b * my, axis=1)
             ez = jnp.sum(s * dzb + cd_b * mz, axis=1)
             return -jnp.stack([ex, ey, ez], 1).astype(jnp.float64)
 
-        def col_ef(co_b, cd_b, dxb, dyb, dzb):
+        def col_ef(blocks):
             # field AT every atom i sourced by the row atoms j in R:
-            # co symmetric, d antisymmetric, so the double flip cancels
-            # and the row-block arrays serve directly (dot uses mu_j of
-            # the ROW atom)
+            # co/cd symmetric, d (and s = sqrt(-co) d) antisymmetric
+            # entering quadratically, so the double flip cancels and the
+            # row-block arrays serve directly (dot uses mu_j of the ROW
+            # atom)
+            co_b = blocks[0] if len(blocks) == 5 else None
+            cd_b, dxb, dyb, dzb = blocks[-4:]
             dot = (dxb * mu_r[:, 0:1] + dyb * mu_r[:, 1:2] +
                    dzb * mu_r[:, 2:3])                        # [S,A]
-            s = co_b * dot
+            s = -dot if co_b is None else co_b * dot
             gx = jnp.sum(s * dxb + cd_b * mu_r[:, 0:1], axis=0)
             gy = jnp.sum(s * dyb + cd_b * mu_r[:, 1:2], axis=0)
             gz = jnp.sum(s * dzb + cd_b * mu_r[:, 2:3], axis=0)
             return -jnp.stack([gx, gy, gz], 1).astype(jnp.float64)
 
-        col_corr = col_ef(co_n, cd_n, dxn, dyn, dzn) - \
-            col_ef(co_o, cd_o, dxo, dyo, dzo)
+        col_corr = col_ef(rows_new) - col_ef(rows_old)
         # pairs with i in R belong to the wholesale row replacement below
         ef = base + jnp.where(in_R[:, None], 0.0, col_corr)
-        return update_rows(ef, start, row_ef(co_n, cd_n, dxn, dyn, dzn),
-                           valid)
+        return update_rows(ef, start, row_ef(rows_new), valid)
 
     res = polar_mod.finish_polar(new_state, flags, params, E_static,
                                  contract_fn)
     if not with_commit:
         return res
+    if len(rows_new) == 4:
+        co_r = jnp.zeros((0, 0), jnp.float32)
+        cd_r, sx_r, sy_r, sz_r = rows_new
+    else:
+        co_r, cd_r, sx_r, sy_r, sz_r = rows_new
     cdata = CommitData(start=start, valid=valid, e_pair=e_pair_new,
-                       co=co_n, cd=cd_n, dx=dxn, dy=dyn, dz=dzn,
+                       co=co_r, cd=cd_r, dx=sx_r, dy=sy_r, dz=sz_r,
                        f1=f1, f2=f2, cosp=cos_n, sinp=sin_n)
     return res, cdata
 
@@ -458,7 +490,10 @@ def cache_commit(cache: PolarCache, accept, cdata: CommitData,
     z = jnp.zeros((), jnp.int32)
     ok = accept & cdata.valid                      # [S]
     e = jnp.where(accept, cdata.e_pair, cache.e_pair)
-    co = write_symmetric_rows(cache.co, cdata.co, start, ok, 1.0)
+    if cache.co.size:          # polar_wolf_full: unfolded co plane present
+        co = write_symmetric_rows(cache.co, cdata.co, start, ok, 1.0)
+    else:
+        co = cache.co
     cd = write_symmetric_rows(cache.cd, cdata.cd, start, ok, 1.0)
     dx = write_symmetric_rows(cache.dx, cdata.dx, start, ok, -1.0)
     dy = write_symmetric_rows(cache.dy, cdata.dy, start, ok, -1.0)
@@ -487,8 +522,7 @@ def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
     E_static = static_field(state, flags, params, cache)
 
     def contract_fn(m):
-        return polar_mod.contract_mixed(
-            (cache.co, cache.cd, cache.dx, cache.dy, cache.dz), m)
+        return polar_mod.contract_mixed(planes_of(cache), m)
 
     return polar_mod.finish_polar(state, flags, params, E_static,
                                   contract_fn)

@@ -143,7 +143,9 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
             w_start, _, w_valid = normalize_window(rows_slice, A)
             co, cd = polar_mod.mixed_coeff_scalars(st, pt, flags, params)
             d32 = pt.dimg.astype(jnp.float32)
-            planes = (co, cd, d32[..., 0], d32[..., 1], d32[..., 2])
+            planes = polar_mod.fold_outer_rows(co, cd, d32[..., 0],
+                                               d32[..., 1], d32[..., 2],
+                                               flags)
             f = polar_mod.field_scalars(st, pt, flags, params)
             e_rows = jnp.einsum("sj,j,sjp->sp", f, st.charge, pt.dimg)
 

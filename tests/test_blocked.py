@@ -100,6 +100,16 @@ def test_mixed_precision_polar_matches_f64():
         assert float(b.polarization) != float(a.polarization) or \
             float(a.polarization) == 0.0
 
+    # polar_wolf_full keeps the unfolded 5-plane form (sign-indefinite
+    # c_outer, ops.polar.fold_outer_rows) — cover that branch too
+    f64 = FFlags(polarization=True, polar_wolf_full=True,
+                 damp_type=const.DAMPING_EXPONENTIAL, polar_iterative=True)
+    a = energy_breakdown_blocked(state, f64, params, block=16)
+    b = energy_breakdown_blocked(state, f64.replace(polar_mixed=True),
+                                 params, block=16)
+    assert float(b.polarization) == pytest.approx(
+        float(a.polarization), rel=3e-5)
+
 
 def test_mixed_precision_parses_from_input(tmp_path):
     from mpmcxx_tpu.config.parser import parse_config

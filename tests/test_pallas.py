@@ -41,7 +41,7 @@ class TestContractKernel:
         dz = antisym(rng.normal(size=(A, A)))
         mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
 
-        got = pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu,
+        got = pallas_polar.contract_pallas((co, cd, dx, dy, dz), mu,
                                            interpret=True)
         m = mu.astype(jnp.float32)
         mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
@@ -51,6 +51,19 @@ class TestContractKernel:
                            jnp.sum(s * dz + cd * mz, 1)], 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+        # folded 4-plane form: the kernel must reproduce the 5-plane
+        # contraction for co_eff = min(co, 0) via s = sqrt(-co_eff) d
+        co_eff = jnp.minimum(co, 0.0)
+        w = jnp.sqrt(-co_eff)
+        got4 = pallas_polar.contract_pallas(
+            (cd, w * dx, w * dy, w * dz), mu, interpret=True)
+        s4 = co_eff * (dx * mx + dy * my + dz * mz)
+        want4 = -jnp.stack([jnp.sum(s4 * dx + cd * mx, 1),
+                            jnp.sum(s4 * dy + cd * my, 1),
+                            jnp.sum(s4 * dz + cd * mz, 1)], 1)
+        np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
+                                   rtol=1e-4, atol=1e-5)
 
     def test_column_tiling_accumulation(self, monkeypatch):
         # cap the column tile to force multiple j-iterations: the
@@ -65,7 +78,7 @@ class TestContractKernel:
         dy = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
         dz = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
         mu = jnp.asarray(rng.normal(size=(A, 3)))
-        got = pallas_polar.contract_pallas(co, cd, dx, dy, dz, mu,
+        got = pallas_polar.contract_pallas((co, cd, dx, dy, dz), mu,
                                            interpret=True)
         m = mu.astype(jnp.float32)
         mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
@@ -97,7 +110,7 @@ class TestContractKernel:
             dy = antisym(rng.normal(size=(A, A)))
             dz = antisym(rng.normal(size=(A, A)))
             mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
-            got = pallas_polar.contract_pallas_sym(co, cd, dx, dy, dz, mu,
+            got = pallas_polar.contract_pallas_sym((co, cd, dx, dy, dz), mu,
                                                    interpret=True)
             m = mu.astype(jnp.float32)
             mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
@@ -107,6 +120,18 @@ class TestContractKernel:
                                jnp.sum(s * dz + cd * mz, 1)], 1)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-6)
+
+            # folded 4-plane form on the triangle kernel
+            co_eff = jnp.minimum(co, 0.0)
+            w = jnp.sqrt(-co_eff)
+            got4 = pallas_polar.contract_pallas_sym(
+                (cd, w * dx, w * dy, w * dz), mu, interpret=True)
+            s4 = co_eff * (dx * mx + dy * my + dz * mz)
+            want4 = -jnp.stack([jnp.sum(s4 * dx + cd * mx, 1),
+                                jnp.sum(s4 * dy + cd * my, 1),
+                                jnp.sum(s4 * dz + cd * mz, 1)], 1)
+            np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
+                                       rtol=1e-4, atol=1e-5)
 
 
 class TestColumnWriteKernel:
