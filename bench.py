@@ -114,7 +114,8 @@ def thole_solve_ms(state=None, flags=None, params=None) -> float:
     def solve(s, coeffs, E_static):
         res = polar_mod.finish_polar(
             s, flags, params, E_static,
-            lambda m: polar_mod.contract_mixed(coeffs, m))
+            lambda m: polar_mod.contract_mixed(coeffs, m,
+                                               l=params.polar_damp))
         return res.energy
 
     _log("thole: compiling SCF solve...")

@@ -36,25 +36,34 @@ def _pick_bc(A: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def contract_pallas(planes, mu, interpret=False):
-    """-T mu over the 4- or 5-tuple of [A,A] f32 planes
-    (ops.polar.fold_outer_rows); A must be a multiple of 128."""
+def contract_pallas(planes, mu, l=0.0, interpret=False):
+    """-T mu over the 3-, 4- or 5-tuple of [A,A] f32 planes
+    (ops.polar.fold_outer_rows); A must be a multiple of 128.  The
+    3-plane mode recomputes the coefficients in-kernel from the masked
+    displacements (ops.polar.coeffs_from_d) with the damping width ``l``
+    riding row 3 of the mu block."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    has_co = len(planes) == 5
+    from .polar import coeffs_from_d
+
+    mode = len(planes)
     A = planes[0].shape[0]
     bc = _pick_bc(A)
     grid = (A // BR, A // bc)
 
     m = mu.astype(jnp.float32).T             # [3,A] host-side transpose
     m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m)
+    if mode == 3:
+        m8 = m8.at[3].set(jnp.float32(l))
 
     def kernel(mu_ref, *refs):
-        if has_co:
+        if mode == 5:
             co_ref, cd_ref, dx_ref, dy_ref, dz_ref, out_ref = refs
-        else:
+        elif mode == 4:
             cd_ref, dx_ref, dy_ref, dz_ref, out_ref = refs
+        else:
+            dx_ref, dy_ref, dz_ref, out_ref = refs
         j = pl.program_id(1)
         mx = mu_ref[0:1, :]
         my = mu_ref[1:2, :]
@@ -62,9 +71,17 @@ def contract_pallas(planes, mu, interpret=False):
         dxv = dx_ref[:]
         dyv = dy_ref[:]
         dzv = dz_ref[:]
-        cdv = cd_ref[:]
+        if mode == 3:
+            cov, cdv = coeffs_from_d(dxv, dyv, dzv, mu_ref[3:4, :])
+        else:
+            cdv = cd_ref[:]
         dot = dxv * mx + dyv * my + dzv * mz
-        s = co_ref[:] * dot if has_co else -dot
+        if mode == 5:
+            s = co_ref[:] * dot
+        elif mode == 4:
+            s = -dot
+        else:
+            s = cov * dot
         ex = jnp.sum(s * dxv + cdv * mx, axis=1, keepdims=True)
         ey = jnp.sum(s * dyv + cdv * my, axis=1, keepdims=True)
         ez = jnp.sum(s * dzv + cdv * mz, axis=1, keepdims=True)
@@ -184,9 +201,10 @@ def _pick_b_sym(A: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block"))
-def contract_pallas_sym(planes, mu, interpret=False, block=None):
-    """-T mu reading (close to) only the upper triangle of the 4- or
-    5-tuple of planes (ops.polar.fold_outer_rows).
+def contract_pallas_sym(planes, mu, l=0.0, interpret=False, block=None):
+    """-T mu reading (close to) only the upper triangle of the 3-, 4- or
+    5-tuple of planes (ops.polar.fold_outer_rows; the 3-plane mode
+    recomputes coefficients in-kernel, see contract_pallas).
 
     T is symmetric: T_ij = co d (x) d + cd I with d antisymmetric entering
     quadratically, so the contraction can stream each unordered tile pair
@@ -208,7 +226,9 @@ def contract_pallas_sym(planes, mu, interpret=False, block=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    has_co = len(planes) == 5
+    from .polar import coeffs_from_d
+
+    mode = len(planes)
     A = planes[0].shape[0]
     b = block if block else _pick_b_sym(A)
     nr = A // b
@@ -218,14 +238,18 @@ def contract_pallas_sym(planes, mu, interpret=False, block=None):
 
     m = mu.astype(jnp.float32)
     m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m.T)     # lanes-major
+    if mode == 3:
+        m8 = m8.at[3].set(jnp.float32(l))
     mT = jnp.zeros((A, 128), jnp.float32).at[:, :3].set(m)  # sublane-major
 
     def kernel(mu_col_ref, mu_rowT_ref, *refs):
-        if has_co:
+        if mode == 5:
             (co_ref, cd_ref, dx_ref, dy_ref, dz_ref,
              out_row_ref, out_col_ref) = refs
-        else:
+        elif mode == 4:
             cd_ref, dx_ref, dy_ref, dz_ref, out_row_ref, out_col_ref = refs
+        else:
+            dx_ref, dy_ref, dz_ref, out_row_ref, out_col_ref = refs
         c = pl.program_id(1)
         w = jnp.float32(1.0)
         if even:
@@ -237,11 +261,19 @@ def contract_pallas_sym(planes, mu, interpret=False, block=None):
         dxv = dx_ref[:]
         dyv = dy_ref[:]
         dzv = dz_ref[:]
-        cdv = cd_ref[:]
+        if mode == 3:
+            cov, cdv = coeffs_from_d(dxv, dyv, dzv, mu_col_ref[3:4, :])
+        else:
+            cdv = cd_ref[:]
 
         # ef_i += T_ij mu_j  (reduce over lanes)
         dot = dxv * mxj + dyv * myj + dzv * mzj
-        s = co_ref[:] * dot if has_co else -dot
+        if mode == 5:
+            s = co_ref[:] * dot
+        elif mode == 4:
+            s = -dot
+        else:
+            s = cov * dot
         ex = jnp.sum(s * dxv + cdv * mxj, axis=1, keepdims=True) * w
         ey = jnp.sum(s * dyv + cdv * myj, axis=1, keepdims=True) * w
         ez = jnp.sum(s * dzv + cdv * mzj, axis=1, keepdims=True) * w
@@ -263,7 +295,12 @@ def contract_pallas_sym(planes, mu, interpret=False, block=None):
         mzi = mu_rowT_ref[:, 2:3]
         wc = jnp.where(c == 0, jnp.float32(0.0), w)
         dot2 = dxv * mxi + dyv * myi + dzv * mzi
-        s2 = co_ref[:] * dot2 if has_co else -dot2
+        if mode == 5:
+            s2 = co_ref[:] * dot2
+        elif mode == 4:
+            s2 = -dot2
+        else:
+            s2 = cov * dot2
         gx = jnp.sum(s2 * dxv + cdv * mxi, axis=0, keepdims=True) * wc
         gy = jnp.sum(s2 * dyv + cdv * myi, axis=0, keepdims=True) * wc
         gz = jnp.sum(s2 * dzv + cdv * mzi, axis=0, keepdims=True) * wc

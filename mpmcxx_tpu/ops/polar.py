@@ -606,24 +606,85 @@ def mixed_coeff_scalars(state: SystemState, pt: PairTensors, flags: FFlags,
     return c_outer, c_diag
 
 
-def fold_outer_rows(co, cd, d32x, d32y, d32z, flags: FFlags):
-    """Fold the outer coefficient into the displacement planes when its
-    sign is fixed: returns 4 planes ``(cd, sx, sy, sz)`` with
-    ``s = sqrt(-c_outer) d``, so the contraction term ``co d (d.mu)``
-    becomes ``-s (s.mu)`` and the SCF streams FOUR f32 planes instead of
-    five — 20% less HBM traffic on the bandwidth-bound hot op.
+def plane_mode(flags: FFlags) -> int:
+    """How many f32 planes the mixed-precision SCF streams per
+    contraction (the representations of fold_outer_rows):
 
-    ``c_outer = -3 damp2 / r^5 <= 0`` for every damping variant (damp2 is
-    in [0,1]: off/linear by construction, exponential because
-    ``e^-x (1+x+x^2/2+x^3/6) <= 1``); only the polar_wolf_full correction
-    ``+3 wdamp2 / (r^2 rcut^3)`` (src/System.Energy.cpp:2728-2742) can
-    flip the sign at small r, so that mode keeps the 5-plane form.  ``s``
-    inherits d's antisymmetry (sqrt(-co) is symmetric), so the cache's
-    row/column symmetry machinery is unchanged.  The max(.,0) guards
-    rounding: damp2 may round to -1 ulp where it vanishes.
+    - 3 — exponential damping: ``c_outer``/``c_diag`` are pure functions
+      of r alone, so the kernel recomputes them on the fly from masked
+      displacement planes (HBM traffic is the bottleneck; VPU flops are
+      comparatively free).
+    - 4 — linear / off damping (per-pair damping widths, or the
+      es_excluded mask): ``s = sqrt(-c_outer) d`` folds the outer
+      coefficient into the displacements, leaving ``(cd, sx, sy, sz)``.
+    - 5 — polar_wolf_full: the wolf correction makes c_outer
+      sign-indefinite, keeping the unfolded ``(co, cd, dx, dy, dz)``.
     """
     if flags.polar_wolf_full:
+        return 5
+    if flags.damp_type == const.DAMPING_EXPONENTIAL:
+        return 3
+    return 4
+
+
+def coeffs_from_d(dx, dy, dz, l):
+    """(c_outer, c_diag) recomputed in f32 from masked displacement
+    planes under exponential Thole damping (the 3-plane mode of
+    plane_mode): both are functions of r alone —
+    ``co = -3 damp2 / r^5``, ``cd = damp1 / r^3`` with the damps of
+    _thole_damps (src/System.Energy.cpp:2712-2726).  Masked pairs are
+    encoded as d == 0 (self pairs, dead slots) and yield co = cd = 0,
+    exactly as mixed_coeff_scalars masks them.  Pure jnp elementwise
+    math so the same helper serves the XLA fallback, the [S,A] row-block
+    corrections, and the Pallas kernels (VPU elementwise + two
+    transcendentals; no MXU, no layout changes)."""
+    r2 = dx * dx + dy * dy + dz * dz
+    live = r2 > 0.0
+    r2s = jnp.where(live, r2, jnp.float32(1.0))
+    ir = jax.lax.rsqrt(r2s)
+    r = r2s * ir                      # sqrt(r2)
+    ir2 = ir * ir
+    ir3 = ir * ir2
+    ir5 = ir3 * ir2
+    x = l * r
+    ex = jnp.exp(-x)
+    x2 = x * x
+    damp1 = 1.0 - ex * (0.5 * x2 + x + 1.0)
+    damp2 = damp1 - ex * (x * x2 * jnp.float32(1.0 / 6.0))
+    co = jnp.where(live, -3.0 * damp2 * ir5, jnp.float32(0.0))
+    cd = jnp.where(live, damp1 * ir3, jnp.float32(0.0))
+    return co, cd
+
+
+def fold_outer_rows(co, cd, d32x, d32y, d32z, flags: FFlags):
+    """The mixed-precision SCF's plane representation (see plane_mode):
+    returns a 3-, 4- or 5-tuple of [S,A] f32 planes.
+
+    Mode 4 folds the outer coefficient into the displacements:
+    ``c_outer = -3 damp2 / r^5 <= 0`` for every damping variant (damp2 is
+    in [0,1]: off/linear by construction, exponential because
+    ``e^-x (1+x+x^2/2+x^3/6) <= 1``), so ``co d (d.mu)`` becomes
+    ``-s (s.mu)`` with ``s = sqrt(-co) d``; only the polar_wolf_full
+    correction ``+3 wdamp2 / (r^2 rcut^3)``
+    (src/System.Energy.cpp:2728-2742) can flip the sign at small r, so
+    that mode keeps the 5-plane form.  Mode 3 (exponential damping)
+    stores only the displacements, masked to zero where
+    mixed_coeff_scalars masks (``co != 0`` is an exact proxy: co < 0
+    strictly for every unmasked pair with r > 0, and co never underflows
+    in the physical range r in [1e-2, 60] A); the coefficients are
+    recomputed in-kernel by coeffs_from_d.  Both s and masked-d inherit
+    d's antisymmetry (sqrt(-co) and the mask are symmetric), so the
+    cache's row/column symmetry machinery is unchanged.  The max(.,0)
+    guards rounding: damp2 may round to -1 ulp where it vanishes.
+    """
+    mode = plane_mode(flags)
+    if mode == 5:
         return co, cd, d32x, d32y, d32z
+    if mode == 3:
+        live = co != 0.0
+        z = jnp.float32(0.0)
+        return (jnp.where(live, d32x, z), jnp.where(live, d32y, z),
+                jnp.where(live, d32z, z))
     w = jnp.sqrt(jnp.maximum(-co, jnp.float32(0.0)))
     return cd, w * d32x, w * d32y, w * d32z
 
@@ -678,10 +739,12 @@ def mixed_field_coeffs(state: SystemState, flags: FFlags, params: RunParams,
     return planes, E
 
 
-def contract_mixed(coeffs, mu):
-    """ef_induced = -T mu from precomputed f32 coefficients — the 4-plane
-    ``(cd, sx, sy, sz)`` or 5-plane ``(co, cd, dx, dy, dz)`` tuple of
-    fold_outer_rows.
+def contract_mixed(coeffs, mu, l=None):
+    """ef_induced = -T mu from precomputed f32 coefficients — the
+    3-plane ``(dmx, dmy, dmz)``, 4-plane ``(cd, sx, sy, sz)`` or 5-plane
+    ``(co, cd, dx, dy, dz)`` tuple of fold_outer_rows.  The 3-plane mode
+    needs the exponential damping width ``l`` (params.polar_damp) to
+    recompute the coefficients on the fly (coeffs_from_d).
 
     The displacements are stored as [A,A] component planes rather than
     one [A,A,3] tensor: a trailing length-3 axis tiles terribly on
@@ -689,20 +752,30 @@ def contract_mixed(coeffs, mu):
     a fused elementwise + lane-reduction pass.  All math is true f32
     (never the MXU bf16 default), accumulated outputs cast back to f64.
     """
-    co = coeffs[0] if len(coeffs) == 5 else None
-    cd, dx, dy, dz = coeffs[-4:]
+    if len(coeffs) == 3 and l is None:
+        raise ValueError("3-plane mixed coefficients need l=polar_damp")
+    lead = coeffs[0]
+    if l is None:
+        l = 0.0
     if jax.default_backend() not in ("cpu",):
         from . import pallas_polar
         # square planes only: row-sharded callers (parallel.sharded_energy)
         # pass rectangular [A_local, A] slices, which take the XLA path
-        if cd.shape[0] == cd.shape[1] and pallas_polar.supported(cd.shape[0]):
+        if lead.shape[0] == lead.shape[1] and \
+                pallas_polar.supported(lead.shape[0]):
             import os
             # T is symmetric: the triangle kernel reads ~half the bytes
             # (this op is HBM-bound); MPMCXX_SYM_KERNEL=0 falls back
-            if pallas_polar._pick_b_sym(cd.shape[0]) and \
+            if pallas_polar._pick_b_sym(lead.shape[0]) and \
                     os.environ.get("MPMCXX_SYM_KERNEL", "1") != "0":
-                return pallas_polar.contract_pallas_sym(coeffs, mu)
-            return pallas_polar.contract_pallas(coeffs, mu)
+                return pallas_polar.contract_pallas_sym(coeffs, mu, l=l)
+            return pallas_polar.contract_pallas(coeffs, mu, l=l)
+    if len(coeffs) == 3:
+        dx, dy, dz = coeffs
+        co, cd = coeffs_from_d(dx, dy, dz, jnp.float32(l))
+    else:
+        co = coeffs[0] if len(coeffs) == 5 else None
+        cd, dx, dy, dz = coeffs[-4:]
     m = mu.astype(jnp.float32)
     mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
     dot = dx * mx + dy * my + dz * mz
@@ -722,7 +795,7 @@ def polar_blocked(state: SystemState, flags: FFlags, params: RunParams,
         coeffs, E_static = mixed_field_coeffs(state, flags, params, block)
 
         def contract_fn(m):
-            return contract_mixed(coeffs, m)
+            return contract_mixed(coeffs, m, l=params.polar_damp)
     else:
         E_static = thole_field_blocked(state, flags, params, block)
 

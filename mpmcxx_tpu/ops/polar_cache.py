@@ -9,12 +9,14 @@ O(S*A) (S = atoms of the moved molecule), so the per-move polarization
 cost collapses to the SCF contractions themselves:
 
 - ``co``/``cd``/``d``: the float32 dipole-contraction coefficients of
-  ops.polar.mixed_field_coeffs in the folded representation of
-  ops.polar.fold_outer_rows — FOUR planes ``(cd, s=sqrt(-co) d)`` in the
-  common case (co's sign is fixed), five under polar_wolf_full.  Row
-  updates are exact (the same formula recomputed for the moved rows);
-  columns follow by symmetry (cd symmetric, s antisymmetric), so the
-  arrays stay bit-identical to a full rebuild.
+  ops.polar.mixed_field_coeffs in the representation of
+  ops.polar.fold_outer_rows — THREE masked displacement planes under
+  exponential damping (coefficients recomputed in-kernel,
+  ops.polar.coeffs_from_d), four ``(cd, s=sqrt(-co) d)`` for linear/off
+  damping, five under polar_wolf_full.  Row updates are exact (the same
+  formula recomputed for the moved rows); columns follow by symmetry
+  (cd symmetric, d and s antisymmetric), so the arrays stay
+  bit-identical to a full rebuild.
 - ``e_pair``: the pairwise (ewald-real / wolf / nopbc) static field, f64.
   A move shifts every atom's field by the moved atoms' old/new source
   contributions (field scalars are symmetric, displacements antisymmetric)
@@ -49,14 +51,15 @@ from .pairwise import (assemble_tiles, build_pairs_rect,
 
 class PolarCache(NamedTuple):
     co: jnp.ndarray      # [A,A] f32 outer-product coefficient — [0,0]
-    #                      placeholder except under polar_wolf_full: the
-    #                      common case folds sqrt(-co) into the
-    #                      displacement planes (ops.polar.fold_outer_rows)
-    #                      so the SCF streams 4 planes, not 5
-    cd: jnp.ndarray      # [A,A] f32 diagonal coefficient
-    dx: jnp.ndarray      # [A,A] f32 (scaled) minimum-image displacement
-    dy: jnp.ndarray      # planes (three [A,A] planes tile the TPU lane
-    dz: jnp.ndarray      #  axis; an [A,A,3] tensor would not)
+    #                      placeholder except under polar_wolf_full
+    #                      (ops.polar.fold_outer_rows folds or recomputes
+    #                      it otherwise)
+    cd: jnp.ndarray      # [A,A] f32 diagonal coefficient — [0,0]
+    #                      placeholder in the 3-plane exponential-damping
+    #                      mode (recomputed in-kernel with co)
+    dx: jnp.ndarray      # [A,A] f32 (masked/scaled) minimum-image
+    dy: jnp.ndarray      # displacement planes (three [A,A] planes tile
+    dz: jnp.ndarray      #  the TPU lane axis; an [A,A,3] tensor would not)
     e_pair: jnp.ndarray  # [A,3] f64 pairwise static field
     cosp: jnp.ndarray    # [A,K] f32 cos(k.r_i)  (K=0 when not polar_ewald)
     sinp: jnp.ndarray    # [A,K] f32 sin(k.r_i)
@@ -72,8 +75,11 @@ def empty_cache() -> PolarCache:
 
 def planes_of(cache: PolarCache):
     """The cache's contraction-plane tuple in ops.polar.contract_mixed
-    form: 4 planes ``(cd, sx, sy, sz)`` in the folded common case
-    (``co`` is the [0,0] placeholder), 5 under polar_wolf_full."""
+    form: 3 planes ``(dmx, dmy, dmz)`` in the exponential-damping mode
+    (``co`` and ``cd`` are [0,0] placeholders), 4 ``(cd, sx, sy, sz)``
+    for linear/off damping, 5 under polar_wolf_full."""
+    if cache.co.size == 0 and cache.cd.size == 0:
+        return (cache.dx, cache.dy, cache.dz)
     if cache.co.size == 0:
         return (cache.cd, cache.dx, cache.dy, cache.dz)
     return (cache.co, cache.cd, cache.dx, cache.dy, cache.dz)
@@ -83,9 +89,9 @@ def supports(flags: FFlags, n_atom_slots: int = 0) -> bool:
     """True when polarization can ride the incremental cache (and the rest
     of the energy is pairwise + k-space, as ops.delta requires).
 
-    ``n_atom_slots``: when given, also require the four (five under
-    polar_wolf_full) float32 [A,A] planes to fit comfortably in one
-    chip's HBM (~16-20 A^2 bytes; capped at
+    ``n_atom_slots``: when given, also require the three-to-five float32
+    [A,A] planes (see planes_of) to fit comfortably in one
+    chip's HBM (~12-20 A^2 bytes; capped at
     ~5.6 GB / 16k slots so a proposal + commit never approaches the v5e's
     16 GB — a previous [B,A,3,3] OOM took the TPU worker down for half an
     hour)."""
@@ -123,8 +129,12 @@ def cache_init(state: SystemState, flags: FFlags, params: RunParams,
 
     _, (planes, e) = jax.lax.scan(body, None, jnp.arange(nb))
     planes = tuple(assemble_tiles(p, A, block) for p in planes)
-    if len(planes) == 4:       # common case: co folded into s = sqrt(-co) d
-        co = jnp.zeros((0, 0), jnp.float32)
+    z0 = jnp.zeros((0, 0), jnp.float32)
+    if len(planes) == 3:       # exponential damping: in-kernel coefficients
+        co, cd = z0, z0
+        dx, dy, dz = planes
+    elif len(planes) == 4:     # linear/off: co folded into s = sqrt(-co) d
+        co = z0
         cd, dx, dy, dz = planes
     else:                      # polar_wolf_full: sign-indefinite c_outer
         co, cd, dx, dy, dz = planes
@@ -277,14 +287,17 @@ def cache_move(cache: PolarCache, old_state: SystemState,
     start = start_w
     z = jnp.zeros((), jnp.int32)
 
-    if len(rowp) == 4:
-        co = cache.co                      # [0,0] placeholder, untouched
+    co, cd = cache.co, cache.cd            # [0,0] placeholders, untouched
+    if len(rowp) == 3:
+        sx_rows, sy_rows, sz_rows = rowp
+    elif len(rowp) == 4:
         cd_rows, sx_rows, sy_rows, sz_rows = rowp
+        cd = write_symmetric_rows(cache.cd, cd_rows, start, valid, 1.0)
     else:
         co_rows, cd_rows, sx_rows, sy_rows, sz_rows = rowp
         co = write_symmetric_rows(cache.co, co_rows, start, valid, 1.0)
-    cd = write_symmetric_rows(cache.cd, cd_rows, start, valid, 1.0)
-    # s = sqrt(-co) d inherits d's antisymmetry (sign=-1)
+        cd = write_symmetric_rows(cache.cd, cd_rows, start, valid, 1.0)
+    # masked d and s = sqrt(-co) d inherit d's antisymmetry (sign=-1)
     dx = write_symmetric_rows(cache.dx, sx_rows, start, valid, -1.0)
     dy = write_symmetric_rows(cache.dy, sy_rows, start, valid, -1.0)
     dz = write_symmetric_rows(cache.dz, sz_rows, start, valid, -1.0)
@@ -325,10 +338,10 @@ class CommitData(NamedTuple):
     start: jnp.ndarray    # window start (i32)
     valid: jnp.ndarray    # [S] bool
     e_pair: jnp.ndarray   # [A,3] f64 pairwise static field (no recip)
-    co: jnp.ndarray       # [S,A] f32 row blocks in the cache's folded
-    cd: jnp.ndarray       # representation (co is the [0,0] placeholder
-    dx: jnp.ndarray       # except under polar_wolf_full; dx/dy/dz hold
-    dy: jnp.ndarray       # s = sqrt(-co) d rows in the folded case);
+    co: jnp.ndarray       # [S,A] f32 row blocks in the cache's
+    cd: jnp.ndarray       # fold_outer_rows representation (co and/or cd
+    dx: jnp.ndarray       # are [0,0] placeholders per planes_of; dx/dy/dz
+    dy: jnp.ndarray       # hold masked d or s = sqrt(-co) d rows);
     dz: jnp.ndarray       # invalid rows zeroed
     f1: jnp.ndarray       # [K] f64 updated structure factors
     f2: jnp.ndarray
@@ -420,8 +433,24 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
     rows_old = tuple(jnp.where(vm, rows_of(p), 0.0)
                      for p in planes_of(cache))
 
+    l32 = jnp.float32(params.polar_damp)
+
+    def expand_blocks(blocks):
+        # (co, cd, dx, dy, dz) of a row-block tuple in any of the three
+        # fold_outer_rows representations; mode 3 recomputes the
+        # coefficients from the masked displacements (invalid rows are
+        # d == 0, so their coefficients vanish exactly as before)
+        if len(blocks) == 3:
+            dxb, dyb, dzb = blocks
+            co_b, cd_b = polar_mod.coeffs_from_d(dxb, dyb, dzb, l32)
+        else:
+            co_b = blocks[0] if len(blocks) == 5 else None
+            cd_b, dxb, dyb, dzb = blocks[-4:]
+        return co_b, cd_b, dxb, dyb, dzb
+
     def contract_fn(m):
-        base = polar_mod.contract_mixed(planes_of(cache), m)
+        base = polar_mod.contract_mixed(planes_of(cache), m,
+                                        l=params.polar_damp)
         m32 = m.astype(jnp.float32)
         mx = m32[:, 0][None, :]
         my = m32[:, 1][None, :]
@@ -430,8 +459,7 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
 
         def row_ef(blocks):
             # field AT the row atoms from everyone: -(sum_j M_sj mu_j)
-            co_b = blocks[0] if len(blocks) == 5 else None
-            cd_b, dxb, dyb, dzb = blocks[-4:]
+            co_b, cd_b, dxb, dyb, dzb = expand_blocks(blocks)
             dot = dxb * mx + dyb * my + dzb * mz
             s = -dot if co_b is None else co_b * dot
             ex = jnp.sum(s * dxb + cd_b * mx, axis=1)
@@ -445,8 +473,7 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
             # entering quadratically, so the double flip cancels and the
             # row-block arrays serve directly (dot uses mu_j of the ROW
             # atom)
-            co_b = blocks[0] if len(blocks) == 5 else None
-            cd_b, dxb, dyb, dzb = blocks[-4:]
+            co_b, cd_b, dxb, dyb, dzb = expand_blocks(blocks)
             dot = (dxb * mu_r[:, 0:1] + dyb * mu_r[:, 1:2] +
                    dzb * mu_r[:, 2:3])                        # [S,A]
             s = -dot if co_b is None else co_b * dot
@@ -464,8 +491,12 @@ def polar_proposal(cache: PolarCache, old_state: SystemState,
                                  contract_fn)
     if not with_commit:
         return res
-    if len(rows_new) == 4:
-        co_r = jnp.zeros((0, 0), jnp.float32)
+    z0 = jnp.zeros((0, 0), jnp.float32)
+    if len(rows_new) == 3:
+        co_r, cd_r = z0, z0
+        sx_r, sy_r, sz_r = rows_new
+    elif len(rows_new) == 4:
+        co_r = z0
         cd_r, sx_r, sy_r, sz_r = rows_new
     else:
         co_r, cd_r, sx_r, sy_r, sz_r = rows_new
@@ -494,7 +525,10 @@ def cache_commit(cache: PolarCache, accept, cdata: CommitData,
         co = write_symmetric_rows(cache.co, cdata.co, start, ok, 1.0)
     else:
         co = cache.co
-    cd = write_symmetric_rows(cache.cd, cdata.cd, start, ok, 1.0)
+    if cache.cd.size:          # 3-plane mode has no cd plane either
+        cd = write_symmetric_rows(cache.cd, cdata.cd, start, ok, 1.0)
+    else:
+        cd = cache.cd
     dx = write_symmetric_rows(cache.dx, cdata.dx, start, ok, -1.0)
     dy = write_symmetric_rows(cache.dy, cdata.dy, start, ok, -1.0)
     dz = write_symmetric_rows(cache.dz, cdata.dz, start, ok, -1.0)
@@ -522,7 +556,8 @@ def polar_from_cache(state: SystemState, cache: PolarCache, flags: FFlags,
     E_static = static_field(state, flags, params, cache)
 
     def contract_fn(m):
-        return polar_mod.contract_mixed(planes_of(cache), m)
+        return polar_mod.contract_mixed(planes_of(cache), m,
+                                        l=params.polar_damp)
 
     return polar_mod.finish_polar(state, flags, params, E_static,
                                   contract_fn)

@@ -162,7 +162,8 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
             E = jnp.where(st.atom_alive()[:, None], E, 0.0)
 
             def contract_fn(m):
-                return place(polar_mod.contract_mixed(planes, m))
+                return place(polar_mod.contract_mixed(
+                    planes, m, l=params.polar_damp))
 
             res = polar_mod.finish_polar(st, flags, params, E, contract_fn)
             pol, mu, iters, failed, rrms = res

@@ -110,6 +110,19 @@ def test_mixed_precision_polar_matches_f64():
     assert float(b.polarization) == pytest.approx(
         float(a.polarization), rel=3e-5)
 
+    # linear damping takes the folded 4-plane form (per-pair damping
+    # widths block the in-kernel recompute) — cover that branch too
+    for dt in (const.DAMPING_LINEAR, const.DAMPING_OFF):
+        f64 = FFlags(polarization=True, polar_ewald=True,
+                     damp_type=dt, polar_iterative=True)
+        from mpmcxx_tpu.ops.polar import plane_mode
+        assert plane_mode(f64) == 4
+        a = energy_breakdown_blocked(state, f64, params, block=16)
+        b = energy_breakdown_blocked(state, f64.replace(polar_mixed=True),
+                                     params, block=16)
+        assert float(b.polarization) == pytest.approx(
+            float(a.polarization), rel=3e-5)
+
 
 def test_mixed_precision_parses_from_input(tmp_path):
     from mpmcxx_tpu.config.parser import parse_config

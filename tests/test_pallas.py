@@ -65,6 +65,36 @@ class TestContractKernel:
         np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_contract_3plane_in_kernel_coeffs(self):
+        """3-plane mode (exponential damping): the kernel recomputes
+        (co, cd) in-kernel from the masked displacements and must match
+        the host-side coeffs_from_d + 5-plane contraction."""
+        from mpmcxx_tpu.ops import pallas_polar, polar
+        rng = np.random.default_rng(9)
+        A = 256
+        l = jnp.float32(2.1304)
+        d = rng.normal(size=(A, A, 3)) * 4.0
+        d = d - np.transpose(d, (1, 0, 2))          # antisymmetric
+        mask = rng.uniform(size=(A, A)) < 0.9
+        mask = mask & mask.T
+        np.fill_diagonal(mask, False)               # self pairs
+        dm = jnp.asarray(np.where(mask[..., None], d, 0.0), jnp.float32)
+        dmx, dmy, dmz = dm[..., 0], dm[..., 1], dm[..., 2]
+        mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
+
+        co, cd = polar.coeffs_from_d(dmx, dmy, dmz, l)
+        m = mu.astype(jnp.float32)
+        mx, my, mz = m[:, 0][None, :], m[:, 1][None, :], m[:, 2][None, :]
+        s = co * (dmx * mx + dmy * my + dmz * mz)
+        want = -jnp.stack([jnp.sum(s * dmx + cd * mx, 1),
+                           jnp.sum(s * dmy + cd * my, 1),
+                           jnp.sum(s * dmz + cd * mz, 1)], 1)
+        for fn in (pallas_polar.contract_pallas,
+                   pallas_polar.contract_pallas_sym):
+            got = fn((dmx, dmy, dmz), mu, l=l, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_column_tiling_accumulation(self, monkeypatch):
         # cap the column tile to force multiple j-iterations: the
         # accumulation path must produce the same totals
