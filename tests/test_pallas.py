@@ -95,6 +95,35 @@ class TestContractKernel:
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-4, atol=1e-6)
 
+    def test_coeffs_from_d_matches_f64_over_physical_range(self):
+        """The in-kernel f32 coefficient recompute must track the host
+        f64 formulas (ops.polar._thole_damps exponential branch) to
+        ~1e-5 relative across the physical pair-distance range — the
+        1 - e^-x * poly cancellation is mild for x = l*r >~ 1 and the
+        coefficients themselves vanish as r -> 0."""
+        from mpmcxx_tpu.ops import polar
+        l = 2.1304
+        r = np.logspace(np.log10(0.5), np.log10(60.0), 400)
+        # f64 reference (the mixed_coeff_scalars formulas)
+        x = l * r
+        ex = np.exp(-x)
+        damp1 = 1.0 - ex * (0.5 * x * x + x + 1.0)
+        damp2 = damp1 - ex * x ** 3 / 6.0
+        co64 = -3.0 * damp2 / r ** 5
+        cd64 = damp1 / r ** 3
+        # f32 in-kernel path on axis-aligned displacements
+        d = jnp.asarray(r, jnp.float32)
+        z = jnp.zeros_like(d)
+        co32, cd32 = polar.coeffs_from_d(d, z, z, jnp.float32(l))
+        np.testing.assert_allclose(np.asarray(co32, np.float64), co64,
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(cd32, np.float64), cd64,
+                                   rtol=2e-5)
+        # masked pairs: d == 0 must yield exactly zero
+        co0, cd0 = polar.coeffs_from_d(z, z, z, jnp.float32(l))
+        assert float(jnp.max(jnp.abs(co0))) == 0.0
+        assert float(jnp.max(jnp.abs(cd0))) == 0.0
+
     def test_column_tiling_accumulation(self, monkeypatch):
         # cap the column tile to force multiple j-iterations: the
         # accumulation path must produce the same totals
