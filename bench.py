@@ -47,6 +47,36 @@ def _log(msg):
           flush=True)
 
 
+def _device_alive(timeout_s=150) -> bool:
+    """Probe the backend in a subprocess: a hung remote worker blocks
+    forever in-process (even ctrl-C won't unwind the tunnel), but a
+    child can be killed.  150 s covers the first-compile latency."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def wait_for_device() -> bool:
+    """The remote TPU worker recovers ~20-40 min after an OOM crash
+    (CLAUDE.md); rather than hang or die with no output, poll within
+    ~60% of the time budget, then let main() emit an honest failure
+    line — the driver records whatever JSON we print."""
+    deadline = _T0 + 0.6 * BUDGET_S
+    while True:
+        if _device_alive():
+            return True
+        if time.time() > deadline:
+            return False
+        _log("backend probe failed (worker down?); retrying in 60 s...")
+        time.sleep(60)
+
+
 def flagship_moves_per_sec(model: str = "co2", repeats: int = 3) -> dict:
     """Returns {"median", "min", "max"} moves/s over ``repeats`` timing
     segments of MEASURE_STEPS moves each (error bars: remote-tunnel and
@@ -193,6 +223,16 @@ def main():
     base = load_baseline()
     ref_co2 = float(base.get("flagship_co2_ref_moves_per_sec", 0.0))
     ref_ar = float(base.get("flagship_ref_moves_per_sec", 0.0))
+
+    if not wait_for_device():
+        print(json.dumps({
+            "metric": "MC moves/sec, 10,112-atom polarizable multi-site "
+                      "CO2 GCMC (uVT, oriented 3-site insertion, 4-iter "
+                      "Thole SCF, Ewald)",
+            "value": 0.0, "unit": "moves/sec", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (device probe timed out "
+                     "for the whole budget window)"}))
+        return
 
     co2 = flagship_moves_per_sec("co2")
     result = {

@@ -80,6 +80,14 @@ class FFlags:
     # warm-start the SCF from the dipoles carried on the state (only
     # honored with precision-based termination; reference cold-starts)
     polar_warm_start: bool = False
+    # force the mixed-SCF plane representation (ops.polar.plane_mode):
+    # 0 = auto; 4 = folded (cd, sx, sy, sz) even under exponential
+    # damping, where auto picks the 3-plane in-kernel-recompute form.
+    # The two trade HBM bytes (4 planes) against VPU flops (3 planes);
+    # which wins is a per-chip measurement (docs/PERF.md), hence a knob.
+    # Identical math either way: fold_outer_rows folds sqrt(-co) exactly
+    # and the golden contract is gated on both.
+    polar_plane_mode: int = 0
     damp_type: int = const.DAMPING_EXPONENTIAL
 
     # cavity

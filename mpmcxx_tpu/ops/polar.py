@@ -619,9 +619,16 @@ def plane_mode(flags: FFlags) -> int:
       coefficient into the displacements, leaving ``(cd, sx, sy, sz)``.
     - 5 — polar_wolf_full: the wolf correction makes c_outer
       sign-indefinite, keeping the unfolded ``(co, cd, dx, dy, dz)``.
+
+    ``flags.polar_plane_mode = 4`` forces the folded 4-plane form under
+    exponential damping too — same math, more HBM bytes for fewer VPU
+    flops per pair; which side of the trade wins is measured per chip
+    (docs/PERF.md).
     """
     if flags.polar_wolf_full:
         return 5
+    if flags.polar_plane_mode == 4:
+        return 4
     if flags.damp_type == const.DAMPING_EXPONENTIAL:
         return 3
     return 4

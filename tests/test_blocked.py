@@ -110,6 +110,22 @@ def test_mixed_precision_polar_matches_f64():
     assert float(b.polarization) == pytest.approx(
         float(a.polarization), rel=3e-5)
 
+    # the polar_plane_mode=4 knob forces the folded form under
+    # exponential damping (the HBM-vs-VPU perf A/B, docs/PERF.md):
+    # same math as the auto 3-plane in-kernel recompute
+    f64 = FFlags(polarization=True, polar_ewald=True,
+                 damp_type=const.DAMPING_EXPONENTIAL, polar_iterative=True)
+    from mpmcxx_tpu.ops.polar import plane_mode
+    assert plane_mode(f64) == 3
+    assert plane_mode(f64.replace(polar_plane_mode=4)) == 4
+    m3 = energy_breakdown_blocked(state, f64.replace(polar_mixed=True),
+                                  params, block=16)
+    m4 = energy_breakdown_blocked(
+        state, f64.replace(polar_mixed=True, polar_plane_mode=4),
+        params, block=16)
+    assert float(m4.polarization) == pytest.approx(
+        float(m3.polarization), rel=1e-6)
+
     # linear damping takes the folded 4-plane form (per-pair damping
     # widths block the in-kernel recompute) — cover that branch too
     for dt in (const.DAMPING_LINEAR, const.DAMPING_OFF):

@@ -177,7 +177,13 @@ class TestCacheConsistency:
 
 @pytest.mark.slow
 class TestChainPolarIncremental:
-    def test_uvt_chain_tracks_full_recompute(self):
+    @pytest.mark.parametrize("plane_override", [0, 4])
+    def test_uvt_chain_tracks_full_recompute(self, plane_override):
+        # plane_override=4 forces the folded 4-plane SCF representation
+        # under exponential damping (the HBM-vs-VPU A/B knob,
+        # FFlags.polar_plane_mode) through the full incremental chain:
+        # cache_init, row corrections, and commits all re-dispatch on it
+        flags = FLAGS.replace(polar_plane_mode=plane_override)
         state, _ = polar_system()
         opts = chain_mod.MCOptions(
             ensemble=const.ENSEMBLE_UVT, move_factor=0.2,
@@ -185,14 +191,14 @@ class TestChainPolarIncremental:
             incremental=True, polar_incremental=True, max_mol_atoms=2,
             blocked_energy=True)
         topo = topology(state)
-        carry = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=2)
-        runner = chain_mod.make_chunk_runner(FLAGS, PARAMS, opts, 40,
+        carry = chain_mod.init_carry(state, flags, PARAMS, opts, seed=2)
+        runner = chain_mod.make_chunk_runner(flags, PARAMS, opts, 40,
                                              topology=topo)
         for _ in range(3):
             carry, _ = runner(carry)
         assert int(np.asarray(carry.stats.accept).sum()) > 0
         # incremental bookkeeping must agree with a from-scratch recompute
-        eb = energy_breakdown_blocked(carry.state, FLAGS, PARAMS)
+        eb = energy_breakdown_blocked(carry.state, flags, PARAMS)
         assert float(carry.obs.polarization_energy) == pytest.approx(
             float(eb.polarization), rel=2e-6, abs=1e-8)
         assert float(carry.obs.rd_energy) == pytest.approx(
