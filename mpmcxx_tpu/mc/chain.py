@@ -111,6 +111,11 @@ class StepOut(NamedTuple):
     accepted: jnp.ndarray
     movetype: jnp.ndarray
     polarization_iterations: jnp.ndarray
+    # an INSERT found no dead slot (fixed-capacity SoA, unlike the
+    # reference's malloc): the move was force-rejected.  The host driver
+    # discards the chunk, grows capacity, and re-runs so the ceiling
+    # never biases the ensemble (runner.Simulation._grow_capacity).
+    capacity_reject: jnp.ndarray
 
 
 def observables_from_breakdown(state: SystemState, eb: EnergyBreakdown,
@@ -585,7 +590,9 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
         out = StepOut(boltzmann_factor=bf, accepted=accept,
                       movetype=movetype,
-                      polarization_iterations=eb.polarization_iterations)
+                      polarization_iterations=eb.polarization_iterations,
+                      capacity_reject=(movetype == const.MOVETYPE_INSERT) &
+                                      (insert_slot < 0))
         return MCCarry(state_out, obs_out, T_out, key, carry.step + 1,
                        stats, cavity_carry, sf_out, recip_out,
                        pcache_out), out

@@ -224,10 +224,23 @@ class ReplicaSimulation:
 
         step = 0
         since_corr = 0
+        warned_capacity = False
         while step < cfg.numsteps:
-            self.carry, _ = self.runner(self.carry)
+            self.carry, stats = self.runner(self.carry)
             step += self.chunk
             since_corr += self.chunk
+            if not warned_capacity and cfg.ensemble == const.ENSEMBLE_UVT \
+                    and bool(np.asarray(stats.capacity_reject).any()):
+                # replica states share one stacked capacity; unlike the
+                # single-system runner (which regrows and re-runs the
+                # chunk, runner.Simulation._grow_capacity) a mid-run
+                # restack is not implemented — saturation force-rejects
+                # INSERTs and biases N low, so shout
+                warned_capacity = True
+                print("WARNING: a replica hit the molecule-capacity "
+                      "ceiling; <N> is biased low.  Re-run with a larger "
+                      "initial capacity (more dead template slots or a "
+                      "higher uvt capacity factor).", file=sys.stderr)
 
             if self.tempering:
                 self._swap_key, k = jax.random.split(self._swap_key)

@@ -26,7 +26,7 @@ from .mc import chain as chain_mod
 from .mc.averages import AvgObservables, nodestats_from_counters
 from .mc.sorbate import SorbateTracker
 from .ops import delta as delta_mod
-from .state import build_state
+from .state import build_state, grow_mol_capacity
 
 
 def _obs_to_dict(obs) -> dict:
@@ -128,6 +128,7 @@ class Simulation:
                     ~np.asarray(self.state.mol_adiabatic) &
                     ~np.asarray(self.state.mol_target))
         sorb_types = sorted(set(mt_arr[mov_mask].tolist()))
+        self._insert_types = tuple(sorb_types)
         sorbate_count = max(len(sorb_types), 1)
         insert_species: tuple = ()
         type_fugacities: tuple = ()
@@ -228,6 +229,106 @@ class Simulation:
         idx = np.nonzero(mov)[0]
         return float(mm[idx[0]]) if len(idx) else 0.0
 
+    # -- uVT molecule-capacity regrowth -------------------------------
+    #
+    # The reference mallocs on every insertion
+    # (src/System.MonteCarlo.cpp:740-833); our SoA pytree is statically
+    # sized, so a run whose equilibrium N outgrows the initial headroom
+    # would silently saturate: INSERTs force-reject once no dead slot of
+    # the species remains (found by tools/uvt_crosscheck.py — N pinned
+    # at capacity while the reference climbed past it).  Two defenses:
+    # a proactive regrow when any insertable species' headroom drops
+    # below a quarter-corrtime of slots, and a reactive one — the chunk
+    # that hit the ceiling is DISCARDED and re-run at the larger
+    # capacity, so the ceiling never biases the sampled ensemble.
+
+    def _dead_counts(self, state) -> dict:
+        mt = np.asarray(state.mol_type)
+        alive = np.asarray(state.mol_alive)
+        mov = ~(np.asarray(state.mol_frozen) |
+                np.asarray(state.mol_adiabatic) |
+                np.asarray(state.mol_target))
+        return {t: int((~alive & mov & (mt == t)).sum())
+                for t in self._insert_types}
+
+    def _headroom_low(self) -> bool:
+        if self.cfg.ensemble != const.ENSEMBLE_UVT or \
+                not self._insert_types:
+            return False
+        thresh = max(8, int(self.cfg.corrtime) // 4)
+        return any(v < thresh
+                   for v in self._dead_counts(self.carry.state).values())
+
+    def _grow_capacity(self, base_carry) -> None:
+        """Rebuild state/engine with more insertion slots, continuing the
+        chain from ``base_carry`` (RNG key, step count, acceptance stats,
+        annealing temperature and cavity statistics carry over; energy,
+        structure factors and the polarization cache are recomputed from
+        scratch on the regrown state)."""
+        st = base_carry.state
+        name_of = {i: n for n, i in self.meta["species"].items()}
+        mt = np.asarray(st.mol_type)
+        alive = np.asarray(st.mol_alive)
+        mov = ~(np.asarray(st.mol_frozen) | np.asarray(st.mol_adiabatic) |
+                np.asarray(st.mol_target))
+        extra = {}
+        for t in self._insert_types:
+            live_t = int((alive & mov & (mt == t)).sum())
+            # geometric growth: headroom >= live count keeps the number
+            # of regrowths O(log N); >= corrtime makes an in-chunk
+            # saturation practically unreachable
+            extra[name_of[t]] = max(live_t, int(self.cfg.corrtime), 64)
+        self.state, self.meta = grow_mol_capacity(
+            st, self.meta, extra, ensure_species=tuple(extra))
+        if not self.quiet:
+            self.out.write(
+                f"MC: molecule capacity grown to "
+                f"{self.state.n_mol_slots} slots "
+                f"({self.state.n_atom_slots} atom slots)\n")
+
+        # rebuild the capacity-derived engine pieces (mirrors __init__)
+        mol_id = np.asarray(self.state.mol_id)
+        counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
+        from .ops import polar_cache as pcache_mod
+        polar_incremental = pcache_mod.supports(self.flags,
+                                                self.state.n_atom_slots)
+        incremental = delta_mod.supports(self.flags) or polar_incremental
+        blocked = self.state.n_atom_slots > 1024 and not (
+            self.flags.polarvdw or self.flags.using_axilrod_teller or
+            self.flags.rd_crystal or self.flags.gwp or self.flags.spectre or
+            self.flags.rd_anharmonic)
+        self.opts = dataclasses.replace(
+            self.opts, incremental=incremental,
+            polar_incremental=polar_incremental, blocked_energy=blocked,
+            max_mol_atoms=int(counts.max()) if len(counts) else 1)
+        starts = np.zeros(self.state.n_mol_slots, dtype=np.int32)
+        for mm in range(self.state.n_mol_slots):
+            w = np.nonzero(mol_id == mm)[0]
+            starts[mm] = w[0] if len(w) else 0
+        self.topology = (starts, counts.astype(np.int32))
+        self.run_chunk = chain_mod.make_chunk_runner(
+            self.flags, self.params, self.opts, self.cfg.corrtime,
+            topology=self.topology)
+        self.refresh = chain_mod.make_refresher(self.flags, self.params,
+                                                self.opts)
+        if self.sorbates is not None:
+            # same species indices (grow_mol_capacity keeps the registry
+            # order), so only the per-slot masks change; accumulated
+            # statistics carry over
+            self.sorbates.mol_type = np.asarray(self.state.mol_type)
+            self.sorbates.movable = \
+                ~np.asarray(self.state.mol_frozen) & \
+                ~np.asarray(self.state.mol_adiabatic) & \
+                ~np.asarray(self.state.mol_target)
+
+        seed = self.cfg.preset_seed if self.cfg.preset_seed_on else 0
+        fresh = chain_mod.init_carry(self.state, self.flags, self.params,
+                                     self.opts, seed)
+        self.carry = fresh._replace(
+            key=base_carry.key, step=base_carry.step,
+            stats=base_carry.stats, temperature=base_carry.temperature,
+            cavity=base_carry.cavity)
+
     def _corrtime_io(self, step: int):
         obs = _obs_to_dict(self.carry.obs)
         T = float(self.carry.temperature)
@@ -310,7 +411,15 @@ class Simulation:
                     topology=self.topology)
             else:
                 runner = self.run_chunk
+            prev_carry = self.carry
             self.carry, stats = runner(self.carry)
+            if cfg.ensemble == const.ENSEMBLE_UVT and \
+                    bool(np.asarray(stats.capacity_reject).any()):
+                # an INSERT hit the capacity ceiling inside this chunk:
+                # discard it, regrow from the pre-chunk state, and re-run
+                # the window so the ceiling never biases the ensemble
+                self._grow_capacity(prev_carry)
+                continue
             # full recompute every corrtime: kills Delta-E drift (the
             # flag_all_pairs role) and refreshes observables exactly
             self.carry = self.refresh(self.carry)
@@ -356,6 +465,10 @@ class Simulation:
             if not self.quiet:
                 perf.report(step, self.out)
                 self._display()
+            if self._headroom_low():
+                # proactive: regrow before the next chunk can plausibly
+                # exhaust a species' dead slots (no discard needed here)
+                self._grow_capacity(self.carry)
 
         if cfg.pqr_output != "/dev/null":
             pqr_io.write_state_pqr(cfg.pqr_output, self.carry.state,

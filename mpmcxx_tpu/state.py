@@ -216,16 +216,19 @@ def build_state(atoms: list[AtomRecord],
             cur_id = a.molecule_id
         mols[-1].append(a)
 
-    # species registry
+    # species registry; an explicit species_names list pins the index
+    # order FIRST so rebuilt states (capacity regrowth, replica restarts)
+    # keep species indices stable even when the first-appearing species
+    # changed — MCOptions.insert_species/type_fugacities bake the indices
     species = {}
-    for m in mols:
-        t = m[0].moleculetype
-        if t not in species:
-            species[t] = len(species)
     if species_names:
         for t in species_names:
             if t not in species:
                 species[t] = len(species)
+    for m in mols:
+        t = m[0].moleculetype
+        if t not in species:
+            species[t] = len(species)
 
     # insertion headroom: replicate the last movable (non-frozen) molecule
     # of each requested species
@@ -347,3 +350,110 @@ def build_state(atoms: list[AtomRecord],
         "n_live_molecules": n_live,
     }
     return state, meta
+
+
+def state_to_records(state: SystemState, meta: dict,
+                     atom_idx=None) -> list[AtomRecord]:
+    """Atoms of a (possibly mutated) state back to host AtomRecords, in
+    slot order — the bridge for capacity regrowth (grow_mol_capacity).
+    Default selection is the live atoms (dead slots dropped);
+    molecule_id values only delimit grouping."""
+    mol_id = np.asarray(state.mol_id)
+    alive = np.asarray(state.aalive)
+    pos = np.asarray(state.pos)
+    cols = {k: np.asarray(getattr(state, k))
+            for k in ("mass", "charge", "polarizability", "epsilon",
+                      "sigma", "omega", "gwp_alpha", "c6", "c8", "c10",
+                      "c9", "frozen", "adiabatic", "spectre", "target")}
+    if atom_idx is None:
+        atom_idx = np.nonzero(alive)[0]
+    out = []
+    for a in atom_idx:
+        m = int(mol_id[a])
+        out.append(AtomRecord(
+            atomtype=meta["atomtypes"][a],
+            moleculetype=meta["moleculetypes"][m],
+            molecule_id=m + 1,
+            frozen=bool(cols["frozen"][a]),
+            adiabatic=bool(cols["adiabatic"][a]),
+            spectre=bool(cols["spectre"][a]),
+            target=bool(cols["target"][a]),
+            x=float(pos[a, 0]), y=float(pos[a, 1]), z=float(pos[a, 2]),
+            mass=float(cols["mass"][a]), charge=float(cols["charge"][a]),
+            polarizability=float(cols["polarizability"][a]),
+            epsilon=float(cols["epsilon"][a]),
+            sigma=float(cols["sigma"][a]), omega=float(cols["omega"][a]),
+            gwp_alpha=float(cols["gwp_alpha"][a]),
+            c6=float(cols["c6"][a]), c8=float(cols["c8"][a]),
+            c10=float(cols["c10"][a]), c9=float(cols["c9"][a])))
+    return out
+
+
+def grow_mol_capacity(state: SystemState, meta: dict, extra_mol_capacity,
+                      ensure_species=()) -> tuple[SystemState, dict]:
+    """Rebuild a state with more dead insertion slots, preserving the live
+    contents, the PBC (incl. any manual cutoff override / NPT-scaled
+    basis), per-molecule nuclear spins, and per-atom dipoles.
+
+    The reference has no molecule-capacity ceiling (inserts malloc,
+    src/System.MonteCarlo.cpp:740-833); our SoA pytree is statically
+    sized, so uVT runs whose equilibrium N outgrows the initial headroom
+    regrow through this at corrtime boundaries (runner.Simulation).
+    Species indices stay stable (build_state registers the existing
+    registry first), so MCOptions.insert_species/type_fugacities and the
+    SorbateTracker remain valid.
+
+    ``ensure_species``: insertable species that must keep an insertion
+    template even when their live count is currently zero — one dead
+    exemplar of each is resurrected as a template record set and flipped
+    back to dead after the rebuild."""
+    records = state_to_records(state, meta)
+    mol_alive = np.asarray(state.mol_alive)
+    mol_id = np.asarray(state.mol_id)
+    live_names = {meta["moleculetypes"][m]
+                  for m in np.nonzero(mol_alive)[0]}
+    appended = 0
+    mol_frozen = np.asarray(state.mol_frozen)
+    for name in ensure_species:
+        if name in live_names:
+            continue
+        cand = [m for m in range(state.n_mol_slots)
+                if meta["moleculetypes"][m] == name and not mol_alive[m]
+                and not mol_frozen[m]]
+        if not cand:
+            raise ValueError(f"no template molecule for species {name}")
+        records.extend(state_to_records(
+            state, meta, atom_idx=np.nonzero(mol_id == cand[0])[0]))
+        appended += 1
+
+    rot = {}
+    rg = np.asarray(state.rot_partfunc_g)
+    ru = np.asarray(state.rot_partfunc_u)
+    for m, name in enumerate(meta["moleculetypes"]):
+        rot.setdefault(name, (float(rg[m]), float(ru[m])))
+    new_state, new_meta = build_state(
+        records, np.eye(3),  # placeholder basis; real PBC copied below
+        species_names=list(meta["species"]),
+        extra_mol_capacity=extra_mol_capacity,
+        rot_partfunc=rot)
+    new_state = new_state.replace(pbc=state.pbc)
+
+    # live molecules land at slots 0..n_live-1 in slot order: carry their
+    # nuclear spins (spinflip state is per-slot, not rebuildable) and the
+    # live atoms' converged dipoles across
+    live_mols = np.nonzero(mol_alive)[0]
+    ns = np.asarray(new_state.nuclear_spin).copy()
+    ns[:len(live_mols)] = np.asarray(state.nuclear_spin)[live_mols]
+    live_atoms = np.nonzero(np.asarray(state.aalive))[0]
+    mu = np.asarray(new_state.mu).copy()
+    mu[:len(live_atoms)] = np.asarray(state.mu)[live_atoms]
+    alive_new = np.asarray(new_state.mol_alive).copy()
+    if appended:
+        # the resurrected templates are the LAST `appended` live slots
+        n_live = new_meta["n_live_molecules"]
+        alive_new[n_live - appended:n_live] = False
+        new_meta["n_live_molecules"] = n_live - appended
+    new_state = new_state.replace(nuclear_spin=jnp.asarray(ns),
+                                  mu=jnp.asarray(mu),
+                                  mol_alive=jnp.asarray(alive_new))
+    return new_state, new_meta

@@ -156,6 +156,83 @@ basis3 0 0 16
 
 
 @pytest.mark.slow
+class TestCapacityRegrowth:
+    """uVT molecule-capacity regrowth: the reference mallocs on insert
+    (src/System.MonteCarlo.cpp:740-833); our statically-sized state must
+    regrow instead of silently saturating (found by
+    tools/uvt_crosscheck.py — N pinned at capacity while the reference
+    climbed past it)."""
+
+    def _sim(self, tmp_path, monkeypatch, pressure=200.0, numsteps=900):
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(2)
+        with open("ar.pqr", "w") as f:
+            for m in range(2):
+                x, y, z = rng.uniform(-6, 6, 3)
+                f.write(f"ATOM  {m+1:5d} Ar   Ar M {m+1:4d}   "
+                        f"{x:8.3f}{y:8.3f}{z:8.3f} 39.948  0.0000  0.0000 "
+                        f"119.8  3.405  0.0  0.0\n")
+            f.write("END\n")
+        with open("run.in", "w") as f:
+            f.write(f"""job_name ar
+ensemble uvt
+temperature 110.0
+pressure {pressure}
+insert_probability 0.7
+numsteps {numsteps}
+corrtime 100
+seed 6
+move_factor 0.3
+pqr_input ar.pqr
+basis1 16 0 0
+basis2 0 16 0
+basis3 0 0 16
+""")
+        from mpmcxx_tpu.config.parser import read_config
+        from mpmcxx_tpu.runner import Simulation
+        return Simulation(read_config("run.in"), quiet=True)
+
+    def test_chain_grows_past_initial_capacity(self, tmp_path, monkeypatch):
+        sim = self._sim(tmp_path, monkeypatch)
+        cap0 = sim.state.n_mol_slots          # 2 live + 32 headroom
+        sim.run()
+        N = int(np.asarray(sim.carry.state.mol_alive).sum())
+        assert sim.state.n_mol_slots > cap0   # regrew at least once
+        assert N > cap0                       # ...and sampled past the
+        # old ceiling (the saturation this guards against pinned N at it)
+        # energy bookkeeping stays exact across regrowths
+        from mpmcxx_tpu.ops.energy import energy_breakdown
+        eb = energy_breakdown(sim.carry.state, sim.flags, sim.params)
+        assert float(sim.carry.obs.energy) == pytest.approx(
+            float(eb.total), rel=1e-9, abs=1e-7)
+
+    def test_grow_preserves_live_contents_and_registry(self, tmp_path,
+                                                       monkeypatch):
+        from mpmcxx_tpu.state import grow_mol_capacity
+        sim = self._sim(tmp_path, monkeypatch, numsteps=100)
+        st, meta = sim.state, sim.meta
+        grown, gmeta = grow_mol_capacity(st, meta, {"Ar": 100},
+                                         ensure_species=("Ar",))
+        assert gmeta["species"] == meta["species"]
+        assert int(np.asarray(grown.mol_alive).sum()) == \
+            int(np.asarray(st.mol_alive).sum())
+        # live atoms preserved verbatim, in slot order
+        la_old = np.nonzero(np.asarray(st.aalive))[0]
+        la_new = np.nonzero(np.asarray(grown.aalive))[0]
+        assert len(la_old) == len(la_new)
+        np.testing.assert_allclose(np.asarray(grown.pos)[la_new],
+                                   np.asarray(st.pos)[la_old])
+        np.testing.assert_array_equal(
+            np.asarray(grown.epsilon)[la_new],
+            np.asarray(st.epsilon)[la_old])
+        # PBC (incl. cutoff) carried over exactly
+        assert float(grown.pbc.cutoff) == float(st.pbc.cutoff)
+        # headroom exists for the requested species
+        dead = (~np.asarray(grown.mol_alive)).sum()
+        assert dead >= 100
+
+
+@pytest.mark.slow
 class TestCLIPolarizableGCMC:
     def test_polar_mixed_incremental_cli_run(self, tmp_path, monkeypatch):
         """Full driver path for the flagship workload shape: polarizable
