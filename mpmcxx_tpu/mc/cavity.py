@@ -54,7 +54,10 @@ def update_grid(state: SystemState, grid_size: int, radius, key,
     open_mask = ~occupied
     prob = jnp.mean(open_mask.astype(jnp.float64))
 
-    # accessible-volume darts (1 per 10 A^3 by default)
+    # accessible-volume darts: the reference throws volume/10
+    # (update_cavity_volume src/System.Cavity.cpp:122-133); the count
+    # must be static under jit, so callers pass it precomputed from the
+    # initial volume (MCOptions.cavity_darts via the runner)
     if n_darts <= 0:
         n_darts = 256
     frac_d = jax.random.uniform(key, (n_darts, 3)) - 0.5
@@ -68,11 +71,16 @@ def update_grid(state: SystemState, grid_size: int, radius, key,
 
 def biased_insert_position(info: CavityInfo, key):
     """Pick a random open cavity point; returns (com, biased) where biased
-    is False when no cavity is open (src/System.MonteCarlo.cpp:742-764)."""
+    is False when no cavity is open (src/System.MonteCarlo.cpp:742-764).
+
+    The reference draws ``(n-1) - rint((n-1) * rand)`` — a rounded (not
+    floored) index whose two endpoint cavities get half the weight of
+    interior ones.  Mirrored verbatim (the cavities are physically
+    exchangeable, but the quirk is free to keep)."""
     n_open = jnp.sum(info.open_mask)
     u = jax.random.uniform(key)
-    k = jnp.floor(u * n_open).astype(jnp.int32)
-    k = jnp.clip(k, 0, jnp.maximum(n_open - 1, 0))
+    nm1 = jnp.maximum(n_open - 1, 0).astype(jnp.float64)
+    k = (nm1 - jnp.round(u * nm1)).astype(jnp.int32)
     cum = jnp.cumsum(info.open_mask.astype(jnp.int32))
     idx = jnp.argmax(cum == (k + 1))
     return info.points[idx], n_open > 0

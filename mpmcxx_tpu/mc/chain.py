@@ -61,6 +61,10 @@ class MCOptions:
     cavity_bias: bool = False
     cavity_grid_size: int = 0
     cavity_radius: float = 0.0
+    # accessible-volume darts per grid rebuild; the reference throws
+    # volume/10 (update_cavity_volume, src/System.Cavity.cpp:122-133).
+    # Static under jit, so the runner computes it from the initial volume.
+    cavity_darts: int = 0
     spectre: bool = False
     spectre_max_charge: float = 0.0
     spectre_max_target: float = 0.0
@@ -95,8 +99,12 @@ class MCCarry(NamedTuple):
     key: jnp.ndarray
     step: jnp.ndarray
     stats: NodeStats
-    cavity: jnp.ndarray            # cavity grid open-fraction state [2]:
-                                   # (bias probability, cavity volume)
+    cavity: jnp.ndarray            # cavity grid open-fraction state [4]:
+                                   # (per-step mean bias probability,
+                                   #  cavity volume, corrtime snapshot of
+                                   #  that mean, checkpoint count) — see
+                                   # the step() comment for the
+                                   # reference's two-tier averaging
     sf: delta_mod.SFCache          # Ewald structure-factor cache ([0] dims
                                    # when the incremental path is off)
     recip_e: jnp.ndarray           # current state's k-space energy (the
@@ -304,24 +312,39 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
 
         # cavity-biased insertion machinery (src/System.Cavity.cpp;
         # src/System.MonteCarlo.cpp:731-764,838-843).  The grid is rebuilt
-        # before every move as in the reference; carry.cavity tracks the
-        # running mean bias probability and last accessible volume.
+        # before every move as in the reference.  carry.cavity mirrors the
+        # reference's two-tier averaging exactly: [0] the per-step running
+        # mean of the grid open fraction (avg_nodestats, updated at the
+        # END of each step — the acceptance factor therefore reads the
+        # PRIOR value, as update_nodestats runs after boltzmann_factor in
+        # the loop, src/System.MonteCarlo.cpp:95-104); [1] the current
+        # dart-integrated accessible volume; [2] the per-corrtime
+        # SNAPSHOT of [0] (avg_observables: clear_avg_nodestats resets
+        # the checkpoint counter each corrtime so single-rank
+        # update_root_nodestats copies verbatim, src/System.Averages.cpp
+        # :361-380 + src/System.MonteCarlo.cpp:1984; advanced by
+        # make_refresher), read only by the REMOVE biased flag; [3] the
+        # checkpoint count.
         biased = jnp.asarray(False)
+        cavity_prob_prior = jnp.zeros(())
         if opts.cavity_bias:
             k_grid, k_pick, k_rm = jax.random.split(k_cav, 3)
             info = cavity_mod.update_grid(state, opts.cavity_grid_size,
-                                          opts.cavity_radius, k_grid)
+                                          opts.cavity_radius, k_grid,
+                                          n_darts=opts.cavity_darts)
             ins_com, any_open = cavity_mod.biased_insert_position(info,
                                                                   k_pick)
             step_f = carry.step.astype(jnp.float64)
-            avg_prob = (carry.cavity[0] * step_f + info.probability) / \
+            cavity_prob_prior = carry.cavity[0]
+            avg_prob = (cavity_prob_prior * step_f + info.probability) / \
                 (step_f + 1.0)
-            cavity_carry = jnp.stack([avg_prob, info.volume])
+            cavity_carry = jnp.stack([avg_prob, info.volume,
+                                      carry.cavity[2], carry.cavity[3]])
             biased = jnp.select(
                 [movetype == const.MOVETYPE_INSERT,
                  movetype == const.MOVETYPE_REMOVE],
                 [any_open,
-                 cavity_mod.remove_biased_flag(k_rm, avg_prob,
+                 cavity_mod.remove_biased_flag(k_rm, carry.cavity[2],
                                                opts.cavity_grid_size)],
                 False)
             insert_com = jnp.where(any_open, ins_com,
@@ -523,7 +546,7 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             bf = metropolis.uvt_factor(
                 movetype, delta, T, state.pbc.volume, fug_move,
                 obs_after.N, float(opts.sorbate_count),
-                biased, cavity_carry[1], cavity_carry[0], pr)
+                biased, cavity_carry[1], cavity_prob_prior, pr)
         elif opts.ensemble == const.ENSEMBLE_NPT:
             bf = metropolis.npt_factor(movetype, delta, T,
                                        base_params.pressure, v_old,
@@ -655,7 +678,7 @@ def init_carry(state: SystemState, flags: FFlags, params: RunParams,
         key=jax.random.PRNGKey(seed),
         step=jnp.zeros((), jnp.int64),
         stats=stats,
-        cavity=jnp.zeros(2),
+        cavity=jnp.zeros(4),
         sf=sf,
         recip_e=recip_e,
         pcache=pcache,
@@ -688,7 +711,19 @@ def make_refresher(flags: FFlags, base_params: RunParams, opts: MCOptions):
             pcache = pcache_mod.cache_init(carry.state, flags, params)
         else:
             pcache = carry.pcache
+        cavity = carry.cavity
+        if opts.cavity_bias:
+            # refresh the avg_observables tier the REMOVE biased flag
+            # reads: do_corrtime_bookkeeping clears the checkpoint
+            # counter before re-averaging (clear_avg_nodestats,
+            # src/System.MonteCarlo.cpp:1984), so with one rank
+            # update_root_nodestats (src/System.Averages.cpp:361-380)
+            # runs at m=1 and avg_observables is a per-corrtime SNAPSHOT
+            # of the per-step running mean, not a checkpoint mean
+            m = carry.cavity[3] + 1.0
+            cavity = jnp.stack([carry.cavity[0], carry.cavity[1],
+                                carry.cavity[0], m])
         return carry._replace(obs=obs, sf=sf, recip_e=recip_e,
-                              pcache=pcache)
+                              pcache=pcache, cavity=cavity)
 
     return refresh

@@ -171,6 +171,10 @@ class Simulation:
             cavity_bias=cfg.cavity_bias,
             cavity_grid_size=cfg.cavity_grid_size,
             cavity_radius=cfg.cavity_radius,
+            # volume/10 darts (src/System.Cavity.cpp:131); static under
+            # jit, so sized from the initial volume
+            cavity_darts=max(int(float(self.state.pbc.volume) * 0.1), 1)
+            if cfg.cavity_bias else 0,
             incremental=incremental,
             max_mol_atoms=max_mol_atoms,
             polar_incremental=polar_incremental,
@@ -430,7 +434,9 @@ class Simulation:
             ns = nodestats_from_counters(
                 acc, rej, float(self.carry.stats.boltzmann_factor),
                 polarization_iterations=float(
-                    np.asarray(stats.polarization_iterations)[-1]))
+                    np.asarray(stats.polarization_iterations)[-1]),
+                cavity_bias_probability=float(self.carry.cavity[0])
+                if cfg.cavity_bias else 0.0)
             self.avg.update_nodestats(ns)
             accept_prev, reject_prev = acc, rej
 

@@ -156,6 +156,81 @@ basis3 0 0 16
 
 
 @pytest.mark.slow
+class TestCavityBias:
+    """Cavity-biased uVT through the full driver: the two-tier bias
+    averaging (per-step avg_nodestats / corrtime avg_observables,
+    src/System.MonteCarlo.cpp:95-104 + src/System.Averages.cpp:361-380)
+    and the dart-integrated accessible volume.  Stochastic agreement
+    with the reference binary: tools/uvt_crosscheck.py --cavity (100k
+    steps: <E> 1.10 sigma, <N> 0.85 sigma; README Fidelity)."""
+
+    def test_cavity_chain_runs_and_tracks_probability(self, tmp_path,
+                                                      monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.default_rng(4)
+        with open("ar.pqr", "w") as f:
+            for m in range(12):
+                x, y, z = rng.uniform(-7, 7, 3)
+                f.write(f"ATOM  {m+1:5d} Ar   Ar M {m+1:4d}   "
+                        f"{x:8.3f}{y:8.3f}{z:8.3f} 39.948  0.0000  0.0000 "
+                        f"119.8  3.405  0.0  0.0\n")
+            f.write("END\n")
+        with open("run.in", "w") as f:
+            f.write("""job_name ar
+ensemble uvt
+temperature 110.0
+pressure 15.0
+insert_probability 0.4
+numsteps 300
+corrtime 100
+seed 5
+move_factor 0.25
+cavity_bias on
+cavity_grid 5
+cavity_radius 2.6
+pqr_input ar.pqr
+basis1 16 0 0
+basis2 0 16 0
+basis3 0 0 16
+""")
+        from mpmcxx_tpu.config.parser import read_config
+        from mpmcxx_tpu.runner import Simulation
+        sim = Simulation(read_config("run.in"), quiet=True)
+        # darts follow the reference's volume/10 rule
+        assert sim.opts.cavity_darts == int(16 ** 3 * 0.1)
+        sim.run()
+        cav = np.asarray(sim.carry.cavity)
+        assert cav.shape == (4,)
+        assert 0.0 < cav[0] <= 1.0          # per-step mean open fraction
+        assert 0.0 < cav[1] <= 16.0 ** 3    # accessible volume
+        assert 0.0 < cav[2] <= 1.0          # corrtime-smoothed mean
+        assert cav[3] == 3.0                # one checkpoint per corrtime
+        assert int(np.asarray(sim.carry.stats.accept).sum()) > 0
+
+    def test_biased_insert_lands_on_open_cavity(self):
+        import jax
+        from mpmcxx_tpu.mc import cavity as cavity_mod
+        from mpmcxx_tpu.state import AtomRecord, build_state
+        rng = np.random.default_rng(8)
+        atoms = [AtomRecord("Ar", "Ar", m + 1, x=x, y=y, z=z, mass=39.948,
+                            epsilon=119.8, sigma=3.405)
+                 for m, (x, y, z) in
+                 enumerate(rng.uniform(-7, 7, (30, 3)))]
+        state, _ = build_state(atoms, np.eye(3) * 16.0)
+        info = cavity_mod.update_grid(state, 5, 2.6,
+                                      jax.random.PRNGKey(0), n_darts=400)
+        assert float(info.probability) == pytest.approx(
+            float(np.asarray(info.open_mask).mean()))
+        open_pts = np.asarray(info.points)[np.asarray(info.open_mask)]
+        for s in range(6):
+            com, biased = cavity_mod.biased_insert_position(
+                info, jax.random.PRNGKey(s))
+            assert bool(biased)
+            d = np.linalg.norm(open_pts - np.asarray(com), axis=1)
+            assert d.min() < 1e-9           # lands exactly on an open point
+
+
+@pytest.mark.slow
 class TestCapacityRegrowth:
     """uVT molecule-capacity regrowth: the reference mallocs on insert
     (src/System.MonteCarlo.cpp:740-833); our statically-sized state must

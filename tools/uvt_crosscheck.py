@@ -31,16 +31,46 @@ REPO = os.path.dirname(_HERE)
 sys.path.insert(0, REPO)
 REF_RUN = os.path.join(REPO, ".refbuild", "ref_run")
 
+_PQR_OVERRIDE = None   # set by --cavity: text to use instead of boxA.pqr
+
+
+def _dense_argon_pqr() -> str:
+    """~100 argon atoms on a jittered 5x5x4 lattice in the 20 A box."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    lines = []
+    i = 0
+    for ix in range(5):
+        for iy in range(5):
+            for iz in range(4):
+                i += 1
+                x = -10 + 4.0 * ix + 2.0 + rng.uniform(-0.4, 0.4)
+                y = -10 + 4.0 * iy + 2.0 + rng.uniform(-0.4, 0.4)
+                z = -10 + 5.0 * iz + 2.5 + rng.uniform(-0.4, 0.4)
+                lines.append(
+                    f"ATOM  {i:5d} Ar   Ar M {i:4d}   "
+                    f"{x:8.3f} {y:8.3f} {z:8.3f} 39.948  0.0000  0.0000 "
+                    f"119.8  3.405  0.0  0.0")
+    return "\n".join(lines) + "\nEND\n"
+
+
+def _write_box(d: str) -> None:
+    if _PQR_OVERRIDE is not None:
+        with open(os.path.join(d, "boxA.pqr"), "w") as f:
+            f.write(_PQR_OVERRIDE)
+    else:
+        shutil.copy(os.path.join(REPO, "examples/gibbs-argon/boxA.pqr"), d)
+
 CONFIG = """job_name ar_uvt
 ensemble uvt
-temperature 110.0
+temperature {temperature}
 pressure {pressure}
 insert_probability 0.4
 numsteps {steps}
 corrtime {corrtime}
 seed {seed}
 move_factor 0.25
-pqr_input boxA.pqr
+{extra}pqr_input boxA.pqr
 energy_output g.energy.dat
 basis1 20 0 0
 basis2 0 20 0
@@ -48,14 +78,23 @@ basis3 0 0 20
 """
 
 
-def stats_from_rows(rows, burn_frac=0.25) -> dict:
+def stats_from_rows(rows, burn_frac=0.25, n_blocks=10) -> dict:
+    """Mean +- block-averaged sdom: per-corrtime samples are still
+    autocorrelated, so the naive sdom understates the error; block means
+    over ~n_blocks blocks decorrelate it."""
     import numpy as np
     rows = rows[max(int(len(rows) * burn_frac), 1):]
-    E = np.asarray([r[0] for r in rows])
-    N = np.asarray([r[1] for r in rows])
-    sd = max(len(E) - 1, 1) ** 0.5
-    return {"E": (float(E.mean()), float(E.std() / sd)),
-            "N": (float(N.mean()), float(N.std() / sd))}
+
+    def block_stats(x):
+        x = np.asarray(x)
+        nb = min(n_blocks, max(len(x) // 2, 1))
+        blocks = np.array_split(x, nb)
+        bm = np.asarray([b.mean() for b in blocks])
+        return float(x.mean()), float(bm.std(ddof=1) / np.sqrt(len(bm))
+                                      if len(bm) > 1 else 0.0)
+
+    return {"E": block_stats([r[0] for r in rows]),
+            "N": block_stats([r[1] for r in rows])}
 
 
 def parse_energy_dat(path: str):
@@ -74,11 +113,13 @@ def parse_energy_dat(path: str):
 
 
 def run_reference(d: str, steps: int, corrtime: int, seed: int,
-                  pressure: float) -> dict:
-    shutil.copy(os.path.join(REPO, "examples/gibbs-argon/boxA.pqr"), d)
+                  pressure: float, extra: str = "",
+                  temperature: float = 110.0) -> dict:
+    _write_box(d)
     with open(os.path.join(d, "run.in"), "w") as f:
         f.write(CONFIG.format(steps=steps, corrtime=corrtime, seed=seed,
-                              pressure=pressure))
+                              pressure=pressure, extra=extra,
+                              temperature=temperature))
     r = subprocess.run([REF_RUN, "run.in"], cwd=d, capture_output=True,
                        text=True, timeout=3600)
     if r.returncode != 0:
@@ -89,17 +130,19 @@ def run_reference(d: str, steps: int, corrtime: int, seed: int,
 
 
 def run_ours(d: str, steps: int, corrtime: int, seed: int,
-             pressure: float) -> dict:
+             pressure: float, extra: str = "",
+             temperature: float = 110.0) -> dict:
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     from mpmcxx_tpu import runner as runner_mod
 
-    shutil.copy(os.path.join(REPO, "examples/gibbs-argon/boxA.pqr"), d)
+    _write_box(d)
     with open(os.path.join(d, "run.in"), "w") as f:
         f.write(CONFIG.format(steps=steps, corrtime=corrtime, seed=seed,
-                              pressure=pressure))
+                              pressure=pressure, extra=extra,
+                              temperature=temperature))
     old = os.getcwd()
     os.chdir(d)
     try:
@@ -115,14 +158,32 @@ def main():
     ap.add_argument("--corrtime", type=int, default=250)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--pressure", type=float, default=15.0)
+    ap.add_argument("--temperature", type=float, default=110.0)
+    ap.add_argument("--cavity", action="store_true",
+                    help="exercise cavity-biased insertion on both sides")
     args = ap.parse_args()
+    extra = ""
+    if args.cavity:
+        extra = "cavity_bias on\ncavity_grid 6\ncavity_radius 2.6\n"
+        # The cavity algorithm's acceptance couples to RUNNING means of
+        # the grid open fraction that only forget the past as 1/t
+        # (avg_nodestats, src/System.Averages.cpp) — starting from the
+        # stock boxA.pqr (which contains an overlapping pair,
+        # E ~ +6e8 K) poisons those means for the whole run, and near
+        # gas-liquid coexistence (110 K) the coupled (N, avg) dynamics
+        # are BISTABLE: identical algorithms can sit in different
+        # quasi-stationary branches for 100k+ steps.  Cross-check at a
+        # supercritical state point instead (run with --temperature 180
+        # --pressure 60) from a jittered dense lattice start.
+        global _PQR_OVERRIDE
+        _PQR_OVERRIDE = _dense_argon_pqr()
 
     with tempfile.TemporaryDirectory() as dref, \
             tempfile.TemporaryDirectory() as dours:
         ref = run_reference(dref, args.steps, args.corrtime, args.seed,
-                            args.pressure)
+                            args.pressure, extra, args.temperature)
         ours = run_ours(dours, args.steps, args.corrtime, args.seed + 1,
-                        args.pressure)
+                        args.pressure, extra, args.temperature)
 
     print(f"{'':>8s} {'reference':>22s} {'ours':>22s} {'sigma':>8s}")
     ok = True
