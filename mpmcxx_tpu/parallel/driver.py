@@ -116,6 +116,10 @@ class ReplicaSimulation:
         cfg = self.cfg
         paths = [self._restart_path(r) for r in range(R)]
         if all(p == cfg.pqr_input for p in paths):
+            # slot layouts never change during a run (insert/remove only
+            # flip mol_alive), so the shared base meta stays valid for
+            # every replica (consumed by _grow_replica_capacity)
+            self._replica_metas = [self.base.meta] * R
             return rep.replicate_carry(self.base.carry, R, base_seed=seed)
 
         atom_lists = {}
@@ -135,13 +139,15 @@ class ReplicaSimulation:
 
         carries = []
         states = {}
+        metas = {}
         for r, p in enumerate(paths):
             if p not in states:
                 if p == cfg.pqr_input and \
                         target == self.base.state.n_mol_slots:
                     states[p] = self.base.state
+                    metas[p] = self.base.meta
                 else:
-                    st, _ = build_state(
+                    st, meta = build_state(
                         atom_lists[p], basis,
                         extra_mol_capacity=target - n_mols[p],
                         species_names=list(self.base.meta["species"]))
@@ -149,6 +155,7 @@ class ReplicaSimulation:
                     # (pbc_cutoff override) so resumed replicas use the
                     # same cutoff as fresh ones
                     states[p] = apply_state_fixups(st, cfg)
+                    metas[p] = meta
             st = states[p]
             s0 = states[paths[0]]
             if st.n_atom_slots != s0.n_atom_slots or \
@@ -159,11 +166,81 @@ class ReplicaSimulation:
             carries.append(chain_mod.init_carry(
                 st, self.base.flags, self.base.params, self.base.opts,
                 seed))
+        self._replica_metas = [metas[p] for p in paths]
         carry_r = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *carries)
         keys = jax.vmap(lambda i: jax.random.fold_in(
             jax.random.PRNGKey(seed), i))(jnp.arange(R))
         return carry_r._replace(key=keys)
+
+    def _grow_replica_capacity(self, base_carry_r) -> None:
+        """Mid-run molecule-capacity restack for the replica batch.
+
+        Same contract as runner.Simulation._grow_capacity: the chunk
+        that hit the ceiling is discarded by the caller and re-run at
+        the larger capacity, so saturation never biases any replica's
+        ensemble.  Every replica regrows to a COMMON per-species slot
+        total (stacking needs equal shapes; the step fn itself carries
+        no static topology, so per-replica slot layouts may differ)."""
+        from ..state import grow_mol_capacity
+        cfg = self.cfg
+        metas = self._replica_metas
+        states = [jax.tree_util.tree_map(lambda x, rr=r: x[rr],
+                                         base_carry_r.state)
+                  for r in range(self.R)]
+        name_of = {i: n for n, i in self.base.meta["species"].items()}
+        insert_types = self.base._insert_types
+        live = {t: [] for t in insert_types}
+        for st in states:
+            mt = np.asarray(st.mol_type)
+            alive = np.asarray(st.mol_alive)
+            mov = ~(np.asarray(st.mol_frozen) |
+                    np.asarray(st.mol_adiabatic) |
+                    np.asarray(st.mol_target))
+            for t in insert_types:
+                live[t].append(int((alive & mov & (mt == t)).sum()))
+        target_total = {t: max(live[t]) + max(int(cfg.corrtime), 64)
+                        for t in insert_types}
+        new_metas, carries = [], []
+        st0 = None
+        for r, (st, meta) in enumerate(zip(states, metas)):
+            extra = {name_of[t]: target_total[t] - live[t][r]
+                     for t in insert_types}
+            ns, nm = grow_mol_capacity(st, meta, extra,
+                                       ensure_species=tuple(extra))
+            if st0 is None:
+                st0 = ns
+            elif ns.n_atom_slots != st0.n_atom_slots or \
+                    ns.n_mol_slots != st0.n_mol_slots:
+                raise ValueError(
+                    f"replica {r} regrew to {ns.n_atom_slots} atom slots "
+                    f"vs replica 0's {st0.n_atom_slots}: replicas have "
+                    "unequal non-insertable movable populations")
+            new_metas.append(nm)
+            carries.append(chain_mod.init_carry(
+                ns, self.base.flags, self.base.params, self.base.opts, 0))
+        self._replica_metas = new_metas
+        if not self.quiet:
+            self.out.write(
+                f"MC: replica molecule capacity grown to "
+                f"{st0.n_mol_slots} slots ({st0.n_atom_slots} atom "
+                f"slots)\n")
+        carry_r = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *carries)
+        self.carry = carry_r._replace(
+            key=base_carry_r.key, step=base_carry_r.step,
+            stats=base_carry_r.stats,
+            temperature=base_carry_r.temperature,
+            cavity=base_carry_r.cavity)
+        if self.sorbates is not None:
+            # per-slot masks resized (species indices unchanged; replica
+            # 0's layout, matching the tracker's original base-layout
+            # approximation for heterogeneous restarts)
+            self.sorbates.mol_type = np.asarray(st0.mol_type)
+            self.sorbates.movable = \
+                ~np.asarray(st0.mol_frozen) & \
+                ~np.asarray(st0.mol_adiabatic) & \
+                ~np.asarray(st0.mol_target)
 
     def _corrtime_io(self, step: int, fp_energy):
         """Rank-0-style aggregation: average every replica's observables
@@ -224,23 +301,19 @@ class ReplicaSimulation:
 
         step = 0
         since_corr = 0
-        warned_capacity = False
         while step < cfg.numsteps:
+            prev_carry = self.carry
             self.carry, stats = self.runner(self.carry)
+            if cfg.ensemble == const.ENSEMBLE_UVT and \
+                    bool(np.asarray(stats.capacity_reject).any()):
+                # a replica's INSERT hit the capacity ceiling inside this
+                # chunk: discard it, restack every replica at a larger
+                # common capacity, and re-run the window (same contract
+                # as runner.Simulation._grow_capacity)
+                self._grow_replica_capacity(prev_carry)
+                continue
             step += self.chunk
             since_corr += self.chunk
-            if not warned_capacity and cfg.ensemble == const.ENSEMBLE_UVT \
-                    and bool(np.asarray(stats.capacity_reject).any()):
-                # replica states share one stacked capacity; unlike the
-                # single-system runner (which regrows and re-runs the
-                # chunk, runner.Simulation._grow_capacity) a mid-run
-                # restack is not implemented — saturation force-rejects
-                # INSERTs and biases N low, so shout
-                warned_capacity = True
-                print("WARNING: a replica hit the molecule-capacity "
-                      "ceiling; <N> is biased low.  Re-run with a larger "
-                      "initial capacity (more dead template slots or a "
-                      "higher uvt capacity factor).", file=sys.stderr)
 
             if self.tempering:
                 self._swap_key, k = jax.random.split(self._swap_key)
@@ -265,7 +338,7 @@ class ReplicaSimulation:
                                                     self.carry.state)
                         pqr_io.write_state_pqr(
                             pqr_io.make_filename(cfg.pqr_restart, r), st,
-                            self.base.meta, wrapall=cfg.wrapall,
+                            self._replica_metas[r], wrapall=cfg.wrapall,
                             long_output=cfg.long_output)
                 if not self.quiet:
                     perf.report(step, self.out)
@@ -281,7 +354,7 @@ class ReplicaSimulation:
                                             self.carry.state)
                 pqr_io.write_state_pqr(
                     pqr_io.make_filename(cfg.pqr_output, r), st,
-                    self.base.meta, wrapall=cfg.wrapall,
+                    self._replica_metas[r], wrapall=cfg.wrapall,
                     long_output=cfg.long_output)
         pqr_io.drain()
         if fp_energy:

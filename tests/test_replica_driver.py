@@ -104,3 +104,47 @@ class TestReplicaDriver:
         sim = ReplicaSimulation(cfg, 2, quiet=True)
         open("rdrv.restart-0001.pqr", "w").write("")
         assert sim._restart_path(1) == "box.pqr"
+
+
+@pytest.mark.slow
+def test_replica_capacity_regrowth(tmp_path, monkeypatch):
+    """A replica hitting the molecule-capacity ceiling triggers a common
+    restack (discard + re-run) instead of silently force-rejecting
+    inserts — the replica-batch analog of
+    runner.Simulation._grow_capacity."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(9)
+    with open("box.pqr", "w") as f:
+        for m in range(2):
+            x, y, z = rng.uniform(-6, 6, 3)
+            f.write(f"ATOM  {m + 1:5d} Ar   Ar  M {m + 1:4d}   "
+                    f"{x:8.3f}{y:8.3f}{z:8.3f} 39.94800  0.00000  "
+                    f"0.00000 119.80000  3.40500  0.00000  0.00000\n")
+        f.write("END\n")
+    with open("run.in", "w") as f:
+        f.write("""job_name rgrw
+ensemble uvt
+temperature 110.0
+pressure 200.0
+insert_probability 0.7
+numsteps 600
+corrtime 100
+seed 6
+move_factor 0.3
+pqr_input box.pqr
+pqr_restart /dev/null
+energy_output /dev/null
+basis1 16 0 0
+basis2 0 16 0
+basis3 0 0 16
+""")
+    cfg = read_config("run.in")
+    sim = ReplicaSimulation(cfg, 2, quiet=True)
+    cap0 = int(sim.carry.state.mol_alive.shape[1])   # [R, M]
+    sim.run()
+    assert int(sim.carry.state.mol_alive.shape[1]) > cap0
+    N = np.asarray(sim.carry.state.mol_alive).sum(axis=1)
+    assert (N > cap0).any()          # sampled past the old ceiling
+    # RNG streams stay distinct across the restack
+    keys = np.asarray(sim.carry.key)
+    assert not (keys[0] == keys[1]).all()
