@@ -54,6 +54,37 @@ def _dense_argon_pqr() -> str:
     return "\n".join(lines) + "\nEND\n"
 
 
+def _polar_system_pqr() -> str:
+    """A mini flagship shape: 8 frozen +-0.35e framework charges on a
+    grid + 14 neutral polarizable argon-like sorbates."""
+    import numpy as np
+    rng = np.random.default_rng(31)
+    lines = []
+    i = 0
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                i += 1
+                q = 0.35 if (ix + iy + iz) % 2 else -0.35
+                lines.append(
+                    f"ATOM  {i:5d} FW   FRM F {i:4d}   "
+                    f"{-5 + 10 * ix:8.3f} {-5 + 10 * iy:8.3f} "
+                    f"{-5 + 10 * iz:8.3f} 50.000 {q:8.4f}  0.5000 "
+                    f"40.0  2.800  0.0  0.0")
+    for m in range(14):
+        i += 1
+        x, y, z = rng.uniform(-9, 9, 3)
+        lines.append(
+            f"ATOM  {i:5d} Ar   Ar M {i:4d}   "
+            f"{x:8.3f} {y:8.3f} {z:8.3f} 39.948  0.0000  1.0000 "
+            f"119.8  3.405  0.0  0.0")
+    return "\n".join(lines) + "\nEND\n"
+
+
+_OURS_POLAR_MIXED = False   # set by --polar: our side runs the
+                            # production mixed-precision incremental path
+
+
 def _write_box(d: str) -> None:
     if _PQR_OVERRIDE is not None:
         with open(os.path.join(d, "boxA.pqr"), "w") as f:
@@ -146,7 +177,17 @@ def run_ours(d: str, steps: int, corrtime: int, seed: int,
     old = os.getcwd()
     os.chdir(d)
     try:
-        runner_mod.run_input_file("run.in", quiet=True)
+        if _OURS_POLAR_MIXED:
+            # the production path: mixed-precision SCF + incremental
+            # polarization cache (a keyword the reference would reject,
+            # so injected rather than written into the shared input)
+            from mpmcxx_tpu.config.parser import read_config
+            from mpmcxx_tpu.runner import Simulation
+            cfg = read_config("run.in")
+            cfg.polar_mixed = True
+            Simulation(cfg, quiet=True).run()
+        else:
+            runner_mod.run_input_file("run.in", quiet=True)
         return stats_from_rows(parse_energy_dat("g.energy.dat"))
     finally:
         os.chdir(old)
@@ -161,8 +202,19 @@ def main():
     ap.add_argument("--temperature", type=float, default=110.0)
     ap.add_argument("--cavity", action="store_true",
                     help="exercise cavity-biased insertion on both sides")
+    ap.add_argument("--polar", action="store_true",
+                    help="frozen charged framework + polarizable sorbates"
+                         " (4-iteration Thole SCF both sides; ours on the"
+                         " polar_mixed incremental-cache flagship path)")
+    global _PQR_OVERRIDE, _OURS_POLAR_MIXED
     args = ap.parse_args()
     extra = ""
+    if args.polar:
+        extra = ("polarization on\npolar_iterative on\npolar_ewald on\n"
+                 "polar_damp_type exponential\npolar_damp 2.1304\n"
+                 "polar_gamma 1.0\npolar_max_iter 4\n")
+        _PQR_OVERRIDE = _polar_system_pqr()
+        _OURS_POLAR_MIXED = True
     if args.cavity:
         extra = "cavity_bias on\ncavity_grid 6\ncavity_radius 2.6\n"
         # The cavity algorithm's acceptance couples to RUNNING means of
@@ -175,7 +227,6 @@ def main():
         # quasi-stationary branches for 100k+ steps.  Cross-check at a
         # supercritical state point instead (run with --temperature 180
         # --pressure 60) from a jittered dense lattice start.
-        global _PQR_OVERRIDE
         _PQR_OVERRIDE = _dense_argon_pqr()
 
     with tempfile.TemporaryDirectory() as dref, \
