@@ -201,13 +201,18 @@ class ReplicaSimulation:
                 live[t].append(int((alive & mov & (mt == t)).sum()))
         target_total = {t: max(live[t]) + max(int(cfg.corrtime), 64)
                         for t in insert_types}
-        new_metas, carries = [], []
+        new_metas, new_states = [], []
         st0 = None
         for r, (st, meta) in enumerate(zip(states, metas)):
             extra = {name_of[t]: target_total[t] - live[t][r]
                      for t in insert_types}
-            ns, nm = grow_mol_capacity(st, meta, extra,
-                                       ensure_species=tuple(extra))
+            ns, nm = grow_mol_capacity(
+                st, meta, extra, ensure_species=tuple(extra),
+                # mixed-SCF Pallas tiles want atom capacity % 512 == 0;
+                # base_atoms is equal across replicas (common totals), so
+                # the pad is too and the stack stays shape-consistent
+                pad_atoms_multiple=512 if self.base.flags.polar_mixed
+                else 0)
             if st0 is None:
                 st0 = ns
             elif ns.n_atom_slots != st0.n_atom_slots or \
@@ -217,8 +222,24 @@ class ReplicaSimulation:
                     f"vs replica 0's {st0.n_atom_slots}: replicas have "
                     "unequal non-insertable movable populations")
             new_metas.append(nm)
-            carries.append(chain_mod.init_carry(
-                ns, self.base.flags, self.base.params, self.base.opts, 0))
+            new_states.append(ns)
+        # the capacity-derived MCOptions fields (blocked_energy,
+        # incremental-cache eligibility, max_mol_atoms) change with the
+        # atom-slot count: recompute them and rebuild the jitted
+        # runner/refresher closures around the new opts
+        from ..runner import capacity_opts
+        self.base.opts = capacity_opts(self.base.opts, self.base.flags,
+                                       st0)
+        self.runner = rep.make_replica_runner(
+            self.base.flags, self.base.params, self.base.opts, self.chunk,
+            mesh=self.mesh)
+        self.refresh = jax.jit(jax.vmap(
+            chain_mod.make_refresher(self.base.flags, self.base.params,
+                                     self.base.opts)))
+        carries = [chain_mod.init_carry(ns, self.base.flags,
+                                        self.base.params, self.base.opts,
+                                        0)
+                   for ns in new_states]
         self._replica_metas = new_metas
         if not self.quiet:
             self.out.write(
@@ -330,7 +351,10 @@ class ReplicaSimulation:
                 rej = np.asarray(self.carry.stats.reject).sum(axis=0)
                 self.avg.update_nodestats(nodestats_from_counters(
                     acc, rej,
-                    float(np.asarray(self.carry.stats.boltzmann_factor)[0])))
+                    float(np.asarray(self.carry.stats.boltzmann_factor)[0]),
+                    cavity_bias_probability=float(
+                        np.asarray(self.carry.cavity)[:, 0].mean())
+                    if cfg.cavity_bias else 0.0))
                 self._corrtime_io(step, fp_energy)
                 if cfg.pqr_restart != "/dev/null":
                     for r in range(self.R):

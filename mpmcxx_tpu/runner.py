@@ -46,6 +46,28 @@ def apply_state_fixups(state, cfg: SimConfig):
     return state
 
 
+def capacity_opts(opts, flags, state):
+    """Recompute the capacity-derived MCOptions fields after a state
+    rebuild — the same derivation Simulation.__init__ does.  Shared by
+    the single-system and replica capacity regrowth paths (blocked_energy
+    and the incremental-cache eligibility are functions of the atom-slot
+    count: a regrow can cross the dense->blocked threshold or exit
+    polar_cache.supports()' memory cap)."""
+    mol_id = np.asarray(state.mol_id)
+    counts = np.bincount(mol_id, minlength=state.n_mol_slots)
+    from .ops import polar_cache as pcache_mod
+    polar_incremental = pcache_mod.supports(flags, state.n_atom_slots)
+    incremental = delta_mod.supports(flags) or polar_incremental
+    blocked = state.n_atom_slots > 1024 and not (
+        flags.polarvdw or flags.using_axilrod_teller or
+        flags.rd_crystal or flags.gwp or flags.spectre or
+        flags.rd_anharmonic)
+    return dataclasses.replace(
+        opts, incremental=incremental,
+        polar_incremental=polar_incremental, blocked_energy=blocked,
+        max_mol_atoms=int(counts.max()) if len(counts) else 1)
+
+
 class Simulation:
     """One standard-ensemble run (NVT / uVT / NPT / NVE)."""
 
@@ -283,7 +305,9 @@ class Simulation:
             # saturation practically unreachable
             extra[name_of[t]] = max(live_t, int(self.cfg.corrtime), 64)
         self.state, self.meta = grow_mol_capacity(
-            st, self.meta, extra, ensure_species=tuple(extra))
+            st, self.meta, extra, ensure_species=tuple(extra),
+            # mixed-SCF Pallas tiles want atom capacity % 512 == 0
+            pad_atoms_multiple=512 if self.flags.polar_mixed else 0)
         if not self.quiet:
             self.out.write(
                 f"MC: molecule capacity grown to "
@@ -293,18 +317,7 @@ class Simulation:
         # rebuild the capacity-derived engine pieces (mirrors __init__)
         mol_id = np.asarray(self.state.mol_id)
         counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
-        from .ops import polar_cache as pcache_mod
-        polar_incremental = pcache_mod.supports(self.flags,
-                                                self.state.n_atom_slots)
-        incremental = delta_mod.supports(self.flags) or polar_incremental
-        blocked = self.state.n_atom_slots > 1024 and not (
-            self.flags.polarvdw or self.flags.using_axilrod_teller or
-            self.flags.rd_crystal or self.flags.gwp or self.flags.spectre or
-            self.flags.rd_anharmonic)
-        self.opts = dataclasses.replace(
-            self.opts, incremental=incremental,
-            polar_incremental=polar_incremental, blocked_energy=blocked,
-            max_mol_atoms=int(counts.max()) if len(counts) else 1)
+        self.opts = capacity_opts(self.opts, self.flags, self.state)
         starts = np.zeros(self.state.n_mol_slots, dtype=np.int32)
         for mm in range(self.state.n_mol_slots):
             w = np.nonzero(mol_id == mm)[0]
@@ -471,9 +484,11 @@ class Simulation:
             if not self.quiet:
                 perf.report(step, self.out)
                 self._display()
-            if self._headroom_low():
+            if step < cfg.numsteps and self._headroom_low():
                 # proactive: regrow before the next chunk can plausibly
-                # exhaust a species' dead slots (no discard needed here)
+                # exhaust a species' dead slots (no discard needed here;
+                # pointless after the final window — the rebuild costs a
+                # full recompile + energy/cache init)
                 self._grow_capacity(self.carry)
 
         if cfg.pqr_output != "/dev/null":

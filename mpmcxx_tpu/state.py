@@ -389,8 +389,37 @@ def state_to_records(state: SystemState, meta: dict,
     return out
 
 
+def _pad_extra(state: SystemState, meta: dict, records, extra,
+               pad_atoms_multiple: int):
+    """Bump one species' headroom so the regrown ATOM capacity lands on
+    a multiple of ``pad_atoms_multiple`` — the mixed-SCF Pallas tiles
+    want the atom capacity a multiple of 512 (docs/PERF.md).  No-op for
+    int extras or when no exact multiple is reachable (e.g. even
+    per-molecule atom counts against 512's parity: the loop gives up
+    after pad_atoms_multiple template molecules)."""
+    if not pad_atoms_multiple or not isinstance(extra, dict) or not extra:
+        return extra
+    mt_names = meta["moleculetypes"]
+    mol_id = np.asarray(state.mol_id)
+    per_atom = {}
+    for name in extra:
+        m = next(i for i, nm in enumerate(mt_names) if nm == name)
+        per_atom[name] = int((mol_id == m).sum())
+    base_atoms = len(records) + sum(extra[n] * per_atom[n] for n in extra)
+    name0 = next(iter(extra))
+    s = max(per_atom[name0], 1)
+    for k in range(pad_atoms_multiple):
+        if (base_atoms + k * s) % pad_atoms_multiple == 0:
+            out = dict(extra)
+            out[name0] += k
+            return out
+    return extra
+
+
 def grow_mol_capacity(state: SystemState, meta: dict, extra_mol_capacity,
-                      ensure_species=()) -> tuple[SystemState, dict]:
+                      ensure_species=(),
+                      pad_atoms_multiple: int = 0
+                      ) -> tuple[SystemState, dict]:
     """Rebuild a state with more dead insertion slots, preserving the live
     contents, the PBC (incl. any manual cutoff override / NPT-scaled
     basis), per-molecule nuclear spins, and per-atom dipoles.
@@ -434,7 +463,9 @@ def grow_mol_capacity(state: SystemState, meta: dict, extra_mol_capacity,
     new_state, new_meta = build_state(
         records, np.eye(3),  # placeholder basis; real PBC copied below
         species_names=list(meta["species"]),
-        extra_mol_capacity=extra_mol_capacity,
+        extra_mol_capacity=_pad_extra(state, meta, records,
+                                      extra_mol_capacity,
+                                      pad_atoms_multiple),
         rot_partfunc=rot)
     new_state = new_state.replace(pbc=state.pbc)
 

@@ -305,6 +305,14 @@ basis3 0 0 16
         # headroom exists for the requested species
         dead = (~np.asarray(grown.mol_alive)).sum()
         assert dead >= 100
+        # the SCF tile-alignment pad lands the atom capacity on a
+        # multiple of 512 (monatomic species: always exactly reachable)
+        padded, _ = grow_mol_capacity(st, meta, {"Ar": 100},
+                                      ensure_species=("Ar",),
+                                      pad_atoms_multiple=512)
+        assert padded.n_atom_slots % 512 == 0
+        assert int(np.asarray(padded.mol_alive).sum()) == \
+            int(np.asarray(st.mol_alive).sum())
 
 
 @pytest.mark.slow

@@ -208,6 +208,9 @@ def main():
                          " polar_mixed incremental-cache flagship path)")
     global _PQR_OVERRIDE, _OURS_POLAR_MIXED
     args = ap.parse_args()
+    if args.polar and args.cavity:
+        ap.error("--polar and --cavity are separate cross-checks; "
+                 "run them one at a time")
     extra = ""
     if args.polar:
         extra = ("polarization on\npolar_iterative on\npolar_ewald on\n"
