@@ -127,12 +127,16 @@ def thole_solve_ms(state=None, flags=None, params=None) -> float:
     """Secondary: one 4-iteration polar_mixed Thole SCF solve at 10,240
     atoms (the dominant per-move cost), ms per solve — timed directly on
     the SCF (coefficient planes prebuilt), not via the full dense energy
-    graph."""
+    graph.  Pass all three of (state, flags, params) or none (the
+    monatomic flagship set)."""
     import jax
     import flagship
     from mpmcxx_tpu.ops import polar as polar_mod
 
-    if state is None:
+    if state is None or flags is None or params is None:
+        if not (state is None and flags is None and params is None):
+            raise ValueError("thole_solve_ms takes all three of "
+                             "(state, flags, params) or none")
         state, _meta, flags, params, _opts = flagship.build_state()
 
     _log("thole: building coefficient planes...")

@@ -130,32 +130,62 @@ class ReplicaSimulation:
                 polarvdw=cfg.polarvdw,
                 cdvdw_exp_repulsion=cfg.cdvdw_exp_repulsion)
 
-        # one common molecule-slot capacity so the replica axis stacks
+        # one common PER-SPECIES slot reservation so the replica axis
+        # stacks AND every insertable species keeps dead template slots
+        # (a scalar extra replicates only the last movable molecule,
+        # which silently starves the other species' insertions in
+        # multi-sorbate uVT resumes — find_dead_slot returns -1 forever)
         basis = np.asarray(self.base.state.pbc.basis)
-        n_mols = {p: len({a.molecule_id for a in atoms})
-                  for p, atoms in atom_lists.items()}
-        target = max(self.base.state.n_mol_slots,
-                     max(n_mols.values()) + 32)
+
+        def mov_by_species(atoms):
+            out: dict = {}
+            for a in atoms:
+                if not a.frozen and not a.adiabatic and not a.target:
+                    out.setdefault(a.moleculetype, set()).add(a.molecule_id)
+            return {k: len(v) for k, v in out.items()}
+
+        live_sp = {p: mov_by_species(atoms)
+                   for p, atoms in atom_lists.items()}
+        all_names = sorted({n for d in live_sp.values() for n in d})
+        if len(all_names) > 1 or cfg.ensemble != const.ENSEMBLE_UVT:
+            # per-species totals: max live across paths + headroom
+            target_sp = {n: max(d.get(n, 0) for d in live_sp.values()) +
+                         32 for n in all_names}
+            for p, d in live_sp.items():
+                missing = [n for n in all_names if d.get(n, 0) == 0]
+                if missing and cfg.ensemble == const.ENSEMBLE_UVT:
+                    raise ValueError(
+                        f"replica restart {p} has no molecule of species "
+                        f"{missing}: cannot reserve insertion templates "
+                        "for a fully depleted species — restart from "
+                        "pqr_input instead")
+
+            def extra_of(p):
+                return {n: target_sp[n] - live_sp[p].get(n, 0)
+                        for n in all_names if n in live_sp[p]}
+        else:
+            n_mols = {p: len({a.molecule_id for a in atoms})
+                      for p, atoms in atom_lists.items()}
+            target = max(self.base.state.n_mol_slots,
+                         max(n_mols.values()) + 32)
+
+            def extra_of(p):
+                return target - n_mols[p]
 
         carries = []
         states = {}
         metas = {}
         for r, p in enumerate(paths):
             if p not in states:
-                if p == cfg.pqr_input and \
-                        target == self.base.state.n_mol_slots:
-                    states[p] = self.base.state
-                    metas[p] = self.base.meta
-                else:
-                    st, meta = build_state(
-                        atom_lists[p], basis,
-                        extra_mol_capacity=target - n_mols[p],
-                        species_names=list(self.base.meta["species"]))
-                    # same post-build fixups Simulation.__init__ applies
-                    # (pbc_cutoff override) so resumed replicas use the
-                    # same cutoff as fresh ones
-                    states[p] = apply_state_fixups(st, cfg)
-                    metas[p] = meta
+                st, meta = build_state(
+                    atom_lists[p], basis,
+                    extra_mol_capacity=extra_of(p),
+                    species_names=list(self.base.meta["species"]))
+                # same post-build fixups Simulation.__init__ applies
+                # (pbc_cutoff override) so resumed replicas use the
+                # same cutoff as fresh ones
+                states[p] = apply_state_fixups(st, cfg)
+                metas[p] = meta
             st = states[p]
             s0 = states[paths[0]]
             if st.n_atom_slots != s0.n_atom_slots or \

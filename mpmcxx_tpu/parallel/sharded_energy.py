@@ -66,6 +66,16 @@ def sharded_breakdown(state: SystemState, flags: FFlags, params: RunParams,
     if flags.polarization and not flags.polar_mixed:
         raise ValueError("sharded polarization runs on the mixed-precision "
                          "planes; set polar_mixed")
+    if (flags.polarvdw or flags.using_axilrod_teller) and \
+            state.n_atom_slots > 4096:
+        # these terms build dense replicated tensors on every device
+        # (polarvdw: the [A,A,3,3] f64 Thole A-matrix = 81*A^2 bytes,
+        # ~5.4 GB at A=8192 — the same class of buffer whose OOM once
+        # took the TPU worker down for half an hour, see CLAUDE.md)
+        raise ValueError(
+            "sharded polarvdw/Axilrod-Teller replicate dense [A,A(,3,3)] "
+            "tensors per device; capped at 4096 atom slots "
+            f"(got {state.n_atom_slots})")
     A = state.n_atom_slots
     n_dev = mesh.shape[axis]
     rows_all = _row_slices(A, n_dev, block)

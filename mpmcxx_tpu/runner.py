@@ -26,7 +26,7 @@ from .mc import chain as chain_mod
 from .mc.averages import AvgObservables, nodestats_from_counters
 from .mc.sorbate import SorbateTracker
 from .ops import delta as delta_mod
-from .state import build_state, grow_mol_capacity
+from .state import build_state, grow_mol_capacity, topology
 
 
 def _obs_to_dict(obs) -> dict:
@@ -216,12 +216,7 @@ class Simulation:
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
         self.carry = chain_mod.init_carry(self.state, self.flags, self.params,
                                           self.opts, seed)
-        starts = np.zeros(self.state.n_mol_slots, dtype=np.int32)
-        mol_id_arr = np.asarray(self.state.mol_id)
-        for mm in range(self.state.n_mol_slots):
-            w = np.nonzero(mol_id_arr == mm)[0]
-            starts[mm] = w[0] if len(w) else 0
-        self.topology = (starts, counts.astype(np.int32))
+        self.topology = topology(self.state)
         # no donate=True here: Simulation keeps host-side reads of
         # self.state's (shared) buffers alive across chunks
         # (_particle_mass, dipole reporting), which donation would
@@ -315,14 +310,8 @@ class Simulation:
                 f"({self.state.n_atom_slots} atom slots)\n")
 
         # rebuild the capacity-derived engine pieces (mirrors __init__)
-        mol_id = np.asarray(self.state.mol_id)
-        counts = np.bincount(mol_id, minlength=self.state.n_mol_slots)
         self.opts = capacity_opts(self.opts, self.flags, self.state)
-        starts = np.zeros(self.state.n_mol_slots, dtype=np.int32)
-        for mm in range(self.state.n_mol_slots):
-            w = np.nonzero(mol_id == mm)[0]
-            starts[mm] = w[0] if len(w) else 0
-        self.topology = (starts, counts.astype(np.int32))
+        self.topology = topology(self.state)
         self.run_chunk = chain_mod.make_chunk_runner(
             self.flags, self.params, self.opts, self.cfg.corrtime,
             topology=self.topology)

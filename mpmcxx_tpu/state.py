@@ -352,6 +352,21 @@ def build_state(atoms: list[AtomRecord],
     return state, meta
 
 
+def topology(state: SystemState) -> tuple[np.ndarray, np.ndarray]:
+    """Per-molecule-slot (starts, natoms) int32 arrays for the
+    topology-gather step variants (mc.chain.make_chunk_runner).  Slot
+    layouts never change during a run (insert/remove only flip
+    mol_alive), so this is computed once host-side."""
+    mol_id = np.asarray(state.mol_id)
+    counts = np.bincount(
+        mol_id, minlength=state.n_mol_slots).astype(np.int32)
+    starts = np.zeros(state.n_mol_slots, dtype=np.int32)
+    for m in range(state.n_mol_slots):
+        w = np.nonzero(mol_id == m)[0]
+        starts[m] = w[0] if len(w) else 0
+    return starts, counts
+
+
 def state_to_records(state: SystemState, meta: dict,
                      atom_idx=None) -> list[AtomRecord]:
     """Atoms of a (possibly mutated) state back to host AtomRecords, in

@@ -57,10 +57,12 @@ CO2_EXTRA_SLOTS = 384
 N_TOTAL_CO2 = G_FRAME ** 3 + 3 * N_CO2      # 10,112 live atoms
 
 
-def flagship_atoms(seed: int = 3):
-    """Return (framework, sorbates): lists of dicts with positions in A
-    and charges in |e| (multiply by E2REDUCED for engine units)."""
-    rng = np.random.default_rng(seed)
+def _framework_and_sites(clearance: float, n_wanted: int):
+    """The shared geometry base of both flagship variants: the 8x8x8
+    alternating-charge framework lattice plus a 23^3 site grid (3.48 A
+    pitch) filtered to keep >= ``clearance`` A (min-image) from every
+    framework atom, strided down to ``n_wanted`` sites.  One copy so the
+    'identical configuration' claim of the two baselines can't drift."""
     s = L / G_FRAME
     framework = []
     for i in range(G_FRAME):
@@ -71,9 +73,6 @@ def flagship_atoms(seed: int = 3):
                     x=(i + .5) * s - L / 2, y=(j + .5) * s - L / 2,
                     z=(k + .5) * s - L / 2, q=q))
 
-    # sorbate sites: a finer 23^3 grid (3.48 A pitch), keep sites >= 3.0 A
-    # (min-image) from every framework atom, take N_SORB with even stride,
-    # jitter to break lattice symmetry
     gs = 23
     ss = L / gs
     pts = np.stack(np.meshgrid(*[np.arange(gs)] * 3, indexing="ij"),
@@ -81,12 +80,22 @@ def flagship_atoms(seed: int = 3):
     fpos = np.asarray([[a["x"], a["y"], a["z"]] for a in framework])
     d = pts[:, None, :] - fpos[None, :, :]
     d -= L * np.round(d / L)
-    keep = np.sqrt((d * d).sum(-1)).min(axis=1) >= 3.0
+    keep = np.sqrt((d * d).sum(-1)).min(axis=1) >= clearance
     sites = pts[keep]
-    if len(sites) < N_SORB:
+    if len(sites) < n_wanted:
         raise RuntimeError(f"only {len(sites)} sorbate sites survive")
-    idx = np.linspace(0, len(sites) - 1, N_SORB).round().astype(int)
-    sites = sites[idx] + rng.uniform(-0.4, 0.4, (N_SORB, 3))
+    idx = np.linspace(0, len(sites) - 1, n_wanted).round().astype(int)
+    return framework, sites[idx]
+
+
+def flagship_atoms(seed: int = 3):
+    """Return (framework, sorbates): lists of dicts with positions in A
+    and charges in |e| (multiply by E2REDUCED for engine units).
+    Sorbate sites keep >= 3.0 A from the framework, jittered to break
+    lattice symmetry."""
+    rng = np.random.default_rng(seed)
+    framework, sites = _framework_and_sites(3.0, N_SORB)
+    sites = sites + rng.uniform(-0.4, 0.4, (N_SORB, 3))
     sorbates = [dict(x=p[0], y=p[1], z=p[2], q=0.0) for p in sites]
     return framework, sorbates
 
@@ -97,29 +106,8 @@ def flagship_co2_molecules(seed: int = 3):
     in |e|.  Same framework + site-grid recipe as the monatomic flagship;
     COMs keep >=3.2 A (min-image) from every framework atom."""
     rng = np.random.default_rng(seed)
-    s = L / G_FRAME
-    framework = []
-    for i in range(G_FRAME):
-        for j in range(G_FRAME):
-            for k in range(G_FRAME):
-                q = FRAME_CHARGE_E if (i + j + k) % 2 == 0 else -FRAME_CHARGE_E
-                framework.append(dict(
-                    x=(i + .5) * s - L / 2, y=(j + .5) * s - L / 2,
-                    z=(k + .5) * s - L / 2, q=q))
-
-    gs = 23
-    ss = L / gs
-    pts = np.stack(np.meshgrid(*[np.arange(gs)] * 3, indexing="ij"),
-                   axis=-1).reshape(-1, 3) * ss + ss / 2 - L / 2
-    fpos = np.asarray([[a["x"], a["y"], a["z"]] for a in framework])
-    d = pts[:, None, :] - fpos[None, :, :]
-    d -= L * np.round(d / L)
-    keep = np.sqrt((d * d).sum(-1)).min(axis=1) >= 3.2
-    sites = pts[keep]
-    if len(sites) < N_CO2:
-        raise RuntimeError(f"only {len(sites)} CO2 sites survive")
-    idx = np.linspace(0, len(sites) - 1, N_CO2).round().astype(int)
-    coms = sites[idx] + rng.uniform(-0.3, 0.3, (N_CO2, 3))
+    framework, sites = _framework_and_sites(3.2, N_CO2)
+    coms = sites + rng.uniform(-0.3, 0.3, (N_CO2, 3))
 
     # random molecular axes, uniform on the sphere
     u = rng.normal(size=(N_CO2, 3))
@@ -241,14 +229,8 @@ def build_state(extra_mol_capacity: int = 512):
 
 
 def topology(state):
-    mol_id = np.asarray(state.mol_id)
-    starts = np.zeros(state.n_mol_slots, dtype=np.int32)
-    counts = np.zeros(state.n_mol_slots, dtype=np.int32)
-    for mm in range(state.n_mol_slots):
-        w = np.nonzero(mol_id == mm)[0]
-        starts[mm] = w[0] if len(w) else 0
-        counts[mm] = len(w)
-    return starts, counts
+    from mpmcxx_tpu.state import topology as _topology
+    return _topology(state)
 
 
 def write_pqr(path: str):
