@@ -623,19 +623,63 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
     return step
 
 
+def _carry_planes(carry: MCCarry):
+    """The five (or fewer live) [A,A] polar-cache planes as a tuple —
+    the dominant bytes crossing the chunk's jit boundary."""
+    pc = carry.pcache
+    return (pc.co, pc.cd, pc.dx, pc.dy, pc.dz)
+
+
+def _carry_drop_planes(carry: MCCarry) -> MCCarry:
+    """The carry with the [A,A] planes replaced by [0,0] placeholders
+    (same dtype), so (planes, rest) round-trips losslessly."""
+    pc = carry.pcache
+    z = lambda a: jnp.zeros((0, 0), a.dtype)
+    return carry._replace(pcache=pc._replace(
+        co=z(pc.co), cd=z(pc.cd), dx=z(pc.dx), dy=z(pc.dy), dz=z(pc.dz)))
+
+
+def _carry_with_planes(rest: MCCarry, planes) -> MCCarry:
+    co, cd, dx, dy, dz = planes
+    return rest._replace(pcache=rest.pcache._replace(
+        co=co, cd=cd, dx=dx, dy=dy, dz=dz))
+
+
 def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
-                      chunk_steps: int, topology=None, donate: bool = False):
+                      chunk_steps: int, topology=None, donate=False):
     """Jitted corrtime-chunk: scan `chunk_steps` MC steps.
 
-    ``donate=True`` donates the carry to the chunk so XLA aliases the big
-    polar-cache planes in place at the jit boundary — otherwise every
-    chunk call starts by copying them (~2.5 GB, ~8 ms at the flagship
-    scale).  The caller must not touch the old carry afterwards.  NOTE:
-    on the remote axon TPU backend donating the flagship-sized carry
-    fails at dispatch with INVALID_ARGUMENT (measured, with and without
-    the Pallas commit kernel), so nothing enables this there; it is
-    kept for direct-attached TPU runtimes."""
+    ``donate=True`` donates the whole carry to the chunk so XLA aliases
+    the big polar-cache planes in place at the jit boundary — otherwise
+    every chunk call starts by copying them (~2.5 GB, ~8 ms at the
+    flagship scale).  The caller must not touch the old carry
+    afterwards.  NOTE: on the remote axon TPU backend donating the
+    flagship-sized carry fails at dispatch with INVALID_ARGUMENT
+    (measured, with and without the Pallas commit kernel), so nothing
+    enables this there; it is kept for direct-attached TPU runtimes.
+
+    ``donate="planes"`` donates ONLY the [A,A] polar-cache planes (~95%
+    of the carry's bytes), split out as their own jit argument — a
+    narrower shot at the same entry-copy savings that may dodge the axon
+    dispatch failure above.  Semantically identical to the plain runner
+    (tested trajectory-identical); the caller must still not reuse a
+    consumed carry's plane buffers."""
     step = make_step_fn(flags, params, opts, topology=topology)
+
+    if donate == "planes":
+        @partial(jax.jit, donate_argnums=(0,))
+        def run_split(planes, rest: MCCarry):
+            carry2, outs = jax.lax.scan(step,
+                                        _carry_with_planes(rest, planes),
+                                        None, length=chunk_steps)
+            return _carry_planes(carry2), _carry_drop_planes(carry2), outs
+
+        def run_chunk(carry: MCCarry):
+            planes2, rest2, outs = run_split(_carry_planes(carry),
+                                             _carry_drop_planes(carry))
+            return _carry_with_planes(rest2, planes2), outs
+
+        return run_chunk
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_chunk(carry: MCCarry):

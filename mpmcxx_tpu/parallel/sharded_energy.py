@@ -34,9 +34,19 @@ from ..ops.pairwise import build_pairs_block, build_pairs_rect
 from ..state import SystemState
 
 try:
-    from jax.shard_map import shard_map
+    from jax import shard_map as _shard_map  # jax >= 0.8: top-level
+    _CHECK_KW = "check_vma"
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(*a, **kw):
+    # the replication-checker kwarg was renamed check_rep -> check_vma
+    # across the experimental -> top-level move
+    if "check_rep" in kw:
+        kw[_CHECK_KW] = kw.pop("check_rep")
+    return _shard_map(*a, **kw)
 
 
 def _row_slices(A: int, n_dev: int, block: int):

@@ -208,6 +208,37 @@ class TestChainPolarIncremental:
         # dipoles carried on the state are the converged SCF dipoles
         assert float(jnp.abs(carry.state.mu).max()) > 0.0
 
+    def test_donate_planes_runner_trajectory_identical(self):
+        # donate="planes" splits the [A,A] planes into their own donated
+        # jit argument (chain._carry_planes round-trip); the trajectory
+        # must stay bit-identical to the plain runner
+        state, _ = polar_system()
+        opts = chain_mod.MCOptions(
+            ensemble=const.ENSEMBLE_UVT, move_factor=0.2,
+            insert_probability=0.3, fugacity=15.0, numsteps=120,
+            incremental=True, polar_incremental=True, max_mol_atoms=2,
+            blocked_energy=True)
+        topo = topology(state)
+        plain = chain_mod.make_chunk_runner(FLAGS, PARAMS, opts, 40,
+                                            topology=topo)
+        donating = chain_mod.make_chunk_runner(FLAGS, PARAMS, opts, 40,
+                                               topology=topo,
+                                               donate="planes")
+        ca = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=2)
+        cb = chain_mod.init_carry(state, FLAGS, PARAMS, opts, seed=2)
+        for _ in range(2):
+            ca, _ = plain(ca)
+            cb, _ = donating(cb)
+        assert int(np.asarray(ca.stats.accept).sum()) > 0
+        np.testing.assert_array_equal(np.asarray(ca.state.pos),
+                                      np.asarray(cb.state.pos))
+        np.testing.assert_array_equal(np.asarray(ca.stats.accept),
+                                      np.asarray(cb.stats.accept))
+        assert float(ca.obs.energy) == float(cb.obs.energy)
+        for pa, pb in zip(chain_mod._carry_planes(ca),
+                          chain_mod._carry_planes(cb)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
     def test_refresher_rebuilds_cache(self):
         state, _ = polar_system()
         opts = chain_mod.MCOptions(

@@ -13,7 +13,12 @@ so this tool times both: the standalone 4-iteration SCF solve and one
 full flagship MC chunk per mode.
 
 Usage:  PYTHONPATH=/root/.axon_site:/root/repo python tools/ab_planes.py
-            [--model co2|mono] [--chunk 64] [--skip-chunk]
+            [--model co2|mono] [--chunk 64] [--skip-chunk] [--donate-ab]
+
+``--donate-ab`` additionally times the winning-representation chunk with
+``donate="planes"`` (planes-only jit-boundary donation, mc.chain) — the
+whole-carry form fails at dispatch on axon, this narrower one is the
+open question.
 
 Run one probe at a time: concurrent TPU processes contend on the
 remote tunnel.
@@ -68,13 +73,14 @@ def time_scf(state, flags, params, label):
     return ms, e0
 
 
-def time_chunk(state, flags, params, opts, topo, chunk, label):
+def time_chunk(state, flags, params, opts, topo, chunk, label,
+               donate=False):
     import jax  # noqa: F401
     from mpmcxx_tpu.mc import chain as chain_mod
 
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     runner = chain_mod.make_chunk_runner(flags, params, opts, chunk,
-                                         topology=topo)
+                                         topology=topo, donate=donate)
     _log(f"{label}: compiling {chunk}-step chunk...")
     carry, _ = runner(carry)
     float(carry.obs.energy)
@@ -98,6 +104,8 @@ def main():
     ap.add_argument("--model", default="co2", choices=("co2", "mono"))
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--skip-chunk", action="store_true")
+    ap.add_argument("--donate-ab", action="store_true",
+                    help="also time the auto3 chunk with donate='planes'")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +133,16 @@ def main():
                         ("forced4", flags.replace(polar_plane_mode=4))):
             results[f"chunk_{mode}_moves_s"] = time_chunk(
                 state, f, params, opts, topo, args.chunk, f"chunk[{mode}]")
+        if args.donate_ab:
+            # planes-only donation: whole-carry donate fails at dispatch
+            # on axon (INVALID_ARGUMENT); this narrower form is untried
+            try:
+                results["chunk_auto3_donate_planes_moves_s"] = time_chunk(
+                    state, flags, params, opts, topo, args.chunk,
+                    "chunk[auto3,donate=planes]", donate="planes")
+            except Exception as e:
+                _log(f"donate=planes chunk failed: {e!r}")
+                results["chunk_auto3_donate_planes_moves_s"] = None
 
     import json
     print(json.dumps(results, indent=1))
