@@ -223,19 +223,44 @@ def load_baseline() -> dict:
     return {}
 
 
+LAST_SUCCESS = os.path.join(os.path.dirname(__file__), ".bench_last.json")
+
+
+def _load_last_success() -> dict:
+    """The most recent successful bench result (committed snapshot) —
+    attached, clearly labeled, to the honest-failure line so a down
+    worker at round end doesn't erase the round's measured numbers."""
+    if os.path.exists(LAST_SUCCESS):
+        with open(LAST_SUCCESS) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_last_success(result: dict):
+    try:
+        with open(LAST_SUCCESS, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:  # pragma: no cover
+        pass
+
+
 def main():
     base = load_baseline()
     ref_co2 = float(base.get("flagship_co2_ref_moves_per_sec", 0.0))
     ref_ar = float(base.get("flagship_ref_moves_per_sec", 0.0))
 
     if not wait_for_device():
-        print(json.dumps({
+        fail = {
             "metric": "MC moves/sec, 10,112-atom polarizable multi-site "
                       "CO2 GCMC (uVT, oriented 3-site insertion, 4-iter "
                       "Thole SCF, Ewald)",
             "value": 0.0, "unit": "moves/sec", "vs_baseline": 0.0,
             "error": "TPU backend unavailable (device probe timed out "
-                     "for the whole budget window)"}))
+                     "for the whole budget window)"}
+        last = _load_last_success()
+        if last:
+            fail["last_successful_run"] = last
+        print(json.dumps(fail))
         return
 
     co2 = flagship_moves_per_sec("co2")
@@ -283,6 +308,7 @@ def main():
     if ref_ar > 0:
         secondary["ref_flagship_monatomic_moves_per_sec"] = round(ref_ar, 4)
     result["secondary"] = secondary
+    _save_last_success(dict(result, measured_at=time.strftime("%Y-%m-%d %H:%M")))
     print(json.dumps(result))
 
 
