@@ -173,8 +173,9 @@ def spinflip(state: SystemState, mol) -> SystemState:
 def random_cell_position(state: SystemState, key):
     """Uniform position in the (centered) unit cell
     (src/System.MonteCarlo.cpp:766-775)."""
+    from ..pbc import _mul3
     frac = 0.5 - jax.random.uniform(key, (3,))
-    return frac @ state.pbc.basis
+    return _mul3(frac, state.pbc.basis)
 
 
 def insert(state: SystemState, key, template_mol, dead_slot, com=None
