@@ -79,6 +79,20 @@ class TestSimControlEcho:
         sim = Simulation(read_config("run.in"), quiet=True)
         assert _echo(sim) == _fixture("gcmc_mof_co2.txt")
 
+    def test_gcmc_mof_mixture(self, tmp_path, monkeypatch):
+        """Two-species CO2+H2 mixture with user_fugacities (fixture
+        captured from the reference binary on this run.in minus the
+        polar_mixed extension keyword, as for the CO2 example)."""
+        monkeypatch.chdir(tmp_path)
+        src = open(os.path.join(REPO, "examples", "gcmc-mof-mixture",
+                                "run.in")).read()
+        open("run.in", "w").write(src)
+        open("mof_mix.pqr", "w").write(open(os.path.join(
+            REPO, "examples", "gcmc-mof-mixture", "mof_mix.pqr")).read())
+        from mpmcxx_tpu.runner import Simulation
+        sim = Simulation(read_config("run.in"), quiet=True)
+        assert _echo(sim) == _fixture("gcmc_mof_mixture.txt")
+
     def test_gibbs_argon(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         src = open(os.path.join(REPO, "examples", "gibbs-argon",
