@@ -7,8 +7,9 @@ polarizabilities), uVT insert/remove/displace with oriented multi-site
 insertion, the incremental Delta-E + structure-factor paths, polar_mixed
 Thole SCF (4 iterations/move), full Ewald.  This is BASELINE.json's
 metric ("MC moves/sec/chip at 10k-atom GCMC") in the reference's
-production shape (CO2/H2 sorption).  The monatomic 10,240-atom variant
-(the round-1/2 headline) is kept as a secondary metric.  All timings are
+production shape (CO2/H2 sorption).  Secondary metrics: the 5-site
+BSS*-H2 variant (10,512 atoms, S=5 rows) and the monatomic 10,240-atom
+variant (the round-1/2 headline, kept for continuity).  All timings are
 median/min/max over >=3 segments.
 
 Baseline: the compiled reference binary's measured rate on the identical
@@ -90,6 +91,10 @@ def flagship_moves_per_sec(model: str = "co2", repeats: int = 3) -> dict:
         state, _meta, flags, params, opts = flagship.build_state_co2()
         n_total = flagship.N_TOTAL_CO2
         label = "3,200x3-site CO2"
+    elif model == "h2":
+        state, _meta, flags, params, opts = flagship.build_state_h2()
+        n_total = flagship.N_TOTAL_H2
+        label = "2,000x5-site H2"
     else:
         state, _meta, flags, params, opts = flagship.build_state()
         n_total = flagship.N_TOTAL
@@ -290,6 +295,20 @@ def main():
                     round(ar["median"] / ref_ar, 1)
         except Exception as e:  # pragma: no cover
             _log(f"monatomic flagship secondary failed: {e}")
+    if time.time() - _T0 < BUDGET_S:
+        try:
+            ref_h2 = float(base.get("flagship_h2_ref_moves_per_sec", 0.0))
+            h2 = flagship_moves_per_sec("h2")
+            secondary["flagship_h2_moves_per_sec"] = round(h2["median"], 2)
+            secondary["flagship_h2_min_max"] = \
+                [round(h2["min"], 2), round(h2["max"], 2)]
+            if ref_h2 > 0:
+                secondary["flagship_h2_vs_baseline"] = \
+                    round(h2["median"] / ref_h2, 1)
+                secondary["ref_flagship_h2_moves_per_sec"] = \
+                    round(ref_h2, 4)
+        except Exception as e:  # pragma: no cover
+            _log(f"h2 flagship secondary failed: {e}")
     if time.time() - _T0 < BUDGET_S:
         try:
             secondary["thole_solve_ms_10240"] = round(thole_solve_ms(), 1)

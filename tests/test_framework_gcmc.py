@@ -382,18 +382,20 @@ class TestMultiSiteFlagship:
     structure-factor, and polar-cache paths (the reference's core use
     case, src/System.MonteCarlo.cpp:740-833)."""
 
-    def _mini(self):
+    def _mini(self, model="co2"):
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(__file__),
                                         "..", "tools"))
         import flagship
-        orig = (flagship.G_FRAME, flagship.N_CO2)
-        flagship.G_FRAME, flagship.N_CO2 = 4, 40
+        orig = (flagship.G_FRAME, flagship.N_CO2, flagship.N_H2)
+        flagship.G_FRAME, flagship.N_CO2, flagship.N_H2 = 4, 40, 40
         try:
-            out = flagship.build_state_co2(extra_mol_capacity=8)
+            builder = {"co2": flagship.build_state_co2,
+                       "h2": flagship.build_state_h2}[model]
+            out = builder(extra_mol_capacity=8)
             topo = flagship.topology(out[0])
         finally:
-            flagship.G_FRAME, flagship.N_CO2 = orig
+            flagship.G_FRAME, flagship.N_CO2, flagship.N_H2 = orig
         return out, topo
 
     def test_chain_tracks_full_recompute(self):
@@ -431,6 +433,46 @@ class TestMultiSiteFlagship:
                 flagship.CO2_BOND, abs=2e-3)
             assert np.linalg.norm(o2 - c) == pytest.approx(
                 flagship.CO2_BOND, abs=2e-3)
+
+    def test_h2_5site_chain_tracks_full_recompute(self):
+        """S=5 rows with mixed zero-mass / zero-alpha / zero-LJ sites
+        (tools/flagship.py build_state_h2, BSS* shape): the incremental
+        chain must track the full recompute, and the rigid 5-site
+        geometry must survive displace/insert/remove."""
+        from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+        (state, _meta, flags, params, opts), topo = self._mini("h2")
+        carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
+        runner = chain_mod.make_chunk_runner(flags, params, opts, 64,
+                                             topology=topo)
+        for _ in range(3):
+            carry, _ = runner(carry)
+        acc = np.asarray(carry.stats.accept)
+        assert acc.sum() > 0
+        assert acc[const.MOVETYPE_INSERT] + acc[const.MOVETYPE_REMOVE] > 0
+        eb = energy_breakdown_blocked(carry.state, flags, params)
+        assert float(carry.obs.polarization_energy) == pytest.approx(
+            float(eb.polarization), rel=2e-6, abs=1e-8)
+        assert float(carry.obs.rd_energy) == pytest.approx(
+            float(eb.rd), rel=1e-9, abs=1e-9)
+        assert float(carry.obs.coulombic_energy) == pytest.approx(
+            float(eb.coulombic), rel=1e-9, abs=1e-9)
+        import flagship
+        pos = np.asarray(carry.state.pos)
+        mol_id = np.asarray(carry.state.mol_id)
+        alive = np.asarray(carry.state.mol_alive)
+        frozen = np.asarray(carry.state.mol_frozen)
+        for mm in np.nonzero(alive & ~frozen)[0]:
+            rows = np.nonzero(mol_id == mm)[0]
+            assert len(rows) == 5
+            g, e1, e2, n1, n2 = pos[rows]
+            assert np.linalg.norm(e1 - g) == pytest.approx(
+                flagship.H2_BOND, abs=2e-3)
+            assert np.linalg.norm(e2 - g) == pytest.approx(
+                flagship.H2_BOND, abs=2e-3)
+            assert np.linalg.norm(n1 - g) == pytest.approx(
+                flagship.H2_NOFF, abs=2e-3)
+            assert np.linalg.norm(n2 - g) == pytest.approx(
+                flagship.H2_NOFF, abs=2e-3)
 
     def test_oriented_insertion_randomizes_axes(self):
         # accepted insertions must not all share the template orientation

@@ -140,3 +140,33 @@ def test_flagship_co2_singlepoint():
                         ("polar", "polarization")):
         ours = float(getattr(eb, field))
         assert ours == pytest.approx(exp[comp], rel=2e-6, abs=2e-5), comp
+
+
+@pytest.mark.slow
+def test_flagship_h2_singlepoint():
+    """Full-scale 5-site flagship fidelity gate: the 10,512-atom BSS*-H2
+    GCMC configuration's single-point breakdown vs the reference binary
+    (fixture from tools/measure_baseline.py --model h2) — exercises
+    zero-mass / zero-alpha / zero-LJ sites against the reference's
+    null-interaction exclusions (src/System.cpp:1050-1063)."""
+    import sys
+
+    path = os.path.join(GOLDEN_DIR, "flagship_h2_singlepoint.json")
+    if not os.path.exists(path):
+        pytest.skip("fixture not generated (tools/measure_baseline.py "
+                    "--model h2)")
+    with open(path) as f:
+        fix = json.load(f)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import flagship
+    from mpmcxx_tpu.ops.energy import energy_breakdown_blocked
+
+    state, _meta, flags, params, _opts = flagship.build_state_h2()
+    eb = energy_breakdown_blocked(state, flags, params)
+    exp = fix["expected"]
+    for comp, field in (("rd", "rd"), ("coulombic", "coulombic"),
+                        ("polar", "polarization")):
+        ours = float(getattr(eb, field))
+        assert ours == pytest.approx(exp[comp], rel=2e-6, abs=2e-5), comp

@@ -14,6 +14,11 @@ MOF with a Thole dipole solve; BASELINE.json).  Two sorbate models:
   use case (src/System.MonteCarlo.cpp:740-833) and stresses multi-row
   Delta-E, the incremental Ewald structure factor, and windowed
   polar-cache commits.
+* **h2** (secondary): 2,000 rigid 5-site H2-like sorbates (BSS* shape:
+  charged polarizable COM site, massive charged proton sites, off-center
+  uncharged LJ sites) = 10,512 live atoms — S=5 rows with mixed
+  zero-mass / zero-alpha / zero-LJ sites, the reference's other headline
+  sorbate family.
 * **ar** (legacy/secondary): 9,728 monatomic uncharged polarizable
   sorbates (10,240 atoms), the round-1/2 headline kept for continuity.
 
@@ -55,6 +60,27 @@ CO2_MASS_C, CO2_MASS_O = 12.011, 15.999
 # symmetric-triangle SCF kernel tiles at b=512 (see build_state note)
 CO2_EXTRA_SLOTS = 384
 N_TOTAL_CO2 = G_FRAME ** 3 + 3 * N_CO2      # 10,112 live atoms
+
+# --- 5-site H2-like sorbate (BSS* shape: charged COM site carrying the
+# molecular polarizability + LJ well, proton sites carrying mass +
+# charge, off-center uncharged LJ sites; the reference's other headline
+# sorbate family, BASELINE.json "CO2/H2").  Zero-polarizability and
+# zero-mass sites are legal on both sides: exponential Thole damping
+# never touches alpha (src/System.Energy.cpp:2731-2740), alpha == 0
+# diagonals pin dipoles to zero (:2687-2690), and COMs are mass-weighted
+# over the two proton sites. ------------------------------------------
+N_H2 = 2000                       # live sorbate molecules
+H2_BOND = 0.371                   # H2G -> H2E (half the H-H bond), A
+H2_NOFF = 0.363                   # H2G -> H2N off-center LJ sites, A
+H2_Q_G, H2_Q_E = -0.846166, 0.423083        # |e|
+H2_ALPHA_G = 0.6938               # A^3, COM site only
+H2_EPS_G, H2_SIG_G = 8.8516, 3.2293         # K, A
+H2_EPS_N, H2_SIG_N = 4.0659, 2.3406
+H2_MASS_E = 1.00794
+# 48 insertion slots land the atom capacity on 10,752 = 21*512 (b=512
+# SCF tiling, same note as the other variants)
+H2_EXTRA_SLOTS = 48
+N_TOTAL_H2 = G_FRAME ** 3 + 5 * N_H2        # 10,512 live atoms
 
 
 def _framework_and_sites(clearance: float, n_wanted: int):
@@ -121,11 +147,101 @@ def flagship_co2_molecules(seed: int = 3):
     return framework, mols
 
 
+def flagship_h2_molecules(seed: int = 3):
+    """Return (framework, molecules): molecules as [N_H2,5,3] positions
+    (H2G, H2E, H2E, H2N, H2N) with random orientations.  Same framework +
+    site-grid recipe as the other variants; COMs keep >=3.0 A (min-image)
+    from every framework atom."""
+    rng = np.random.default_rng(seed)
+    framework, sites = _framework_and_sites(3.0, N_H2)
+    coms = sites + rng.uniform(-0.3, 0.3, (N_H2, 3))
+
+    u = rng.normal(size=(N_H2, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    offs = np.array([0.0, H2_BOND, -H2_BOND, H2_NOFF, -H2_NOFF])
+    mols = coms[:, None, :] + offs[None, :, None] * u[:, None, :]
+    # quantize to the PQR writer's %8.3f (see flagship_co2_molecules)
+    mols = np.round(mols, 3)
+    return framework, mols
+
+
 CO2_SITES = (  # (atomtype, mass, q_e, alpha, eps, sig)
     ("CC", CO2_MASS_C, CO2_Q_C, CO2_ALPHA_C, CO2_EPS_C, CO2_SIG_C),
     ("OC", CO2_MASS_O, CO2_Q_O, CO2_ALPHA_O, CO2_EPS_O, CO2_SIG_O),
     ("OC", CO2_MASS_O, CO2_Q_O, CO2_ALPHA_O, CO2_EPS_O, CO2_SIG_O),
 )
+
+
+H2_SITES = (  # (atomtype, mass, q_e, alpha, eps, sig)
+    ("H2G", 0.0, H2_Q_G, H2_ALPHA_G, H2_EPS_G, H2_SIG_G),
+    ("H2E", H2_MASS_E, H2_Q_E, 0.0, 0.0, 0.0),
+    ("H2E", H2_MASS_E, H2_Q_E, 0.0, 0.0, 0.0),
+    ("H2N", 0.0, 0.0, 0.0, H2_EPS_N, H2_SIG_N),
+    ("H2N", 0.0, 0.0, 0.0, H2_EPS_N, H2_SIG_N),
+)
+
+
+def build_state_h2(extra_mol_capacity: int = H2_EXTRA_SLOTS):
+    """The 5-site flagship: SystemState + (flags, params, opts) for a
+    BSS*-shaped H2 sorbate GCMC chain (S=5 rows with mixed zero-mass /
+    zero-alpha / zero-LJ sites through the Delta-E, incremental
+    structure-factor, and polar-cache paths)."""
+    from mpmcxx_tpu import FFlags, RunParams, constants as const
+    from mpmcxx_tpu.mc import chain as chain_mod
+    from mpmcxx_tpu.state import AtomRecord, build_state as _build
+
+    framework, mols = flagship_h2_molecules()
+    atoms = []
+    for a in framework:
+        atoms.append(AtomRecord(
+            "Fw", "MOF", 1, frozen=True, x=a["x"], y=a["y"], z=a["z"],
+            mass=FRAME_MASS, charge=a["q"] * const.E2REDUCED,
+            epsilon=FRAME_EPS, sigma=FRAME_SIG, polarizability=FRAME_ALPHA))
+    for m in range(N_H2):
+        for site, (at, mass, q, al, eps, sig) in enumerate(H2_SITES):
+            p = mols[m, site]
+            atoms.append(AtomRecord(
+                at, "H2", 100 + m, x=p[0], y=p[1], z=p[2],
+                mass=mass, charge=q * const.E2REDUCED, epsilon=eps,
+                sigma=sig, polarizability=al))
+    state, meta = _build(atoms, np.eye(3) * L,
+                         extra_mol_capacity=extra_mol_capacity)
+
+    flags = FFlags(polarization=True, polar_iterative=True, polar_ewald=True,
+                   polar_mixed=True, polar_max_iter=POLAR_MAX_ITER,
+                   damp_type=const.DAMPING_EXPONENTIAL)
+    params = RunParams(temperature=TEMPERATURE, ewald_alpha=EWALD_ALPHA,
+                       polar_ewald_alpha=EWALD_ALPHA, polar_damp=POLAR_DAMP,
+                       polar_gamma=1.0)
+    opts = chain_mod.MCOptions(
+        ensemble=const.ENSEMBLE_UVT, move_factor=MOVE_FACTOR,
+        insert_probability=INSERT_PROB, fugacity=FUGACITY,
+        incremental=True, polar_incremental=True, max_mol_atoms=5,
+        blocked_energy=True)
+    return state, meta, flags, params, opts
+
+
+def write_pqr_h2(path: str):
+    """Reference side: the identical 5-site configuration as a 20-token
+    PQR (charges in e, token 5 = F freezes the framework)."""
+    framework, mols = flagship_h2_molecules()
+    with open(path, "w") as f:
+        i = 0
+        for a in framework:
+            i += 1
+            f.write(f"ATOM  {i:5d} Fw   MOF F    1   "
+                    f"{a['x']:8.3f}{a['y']:8.3f}{a['z']:8.3f} "
+                    f"{FRAME_MASS:.5f} {a['q']:8.5f} {FRAME_ALPHA:.5f} "
+                    f"{FRAME_EPS:.5f} {FRAME_SIG:.5f} 0.00000 0.00000\n")
+        for m in range(N_H2):
+            for site, (at, mass, q, al, eps, sig) in enumerate(H2_SITES):
+                p = mols[m, site]
+                i += 1
+                f.write(f"ATOM  {i:5d} {at:<4s} H2  M {m + 2:4d}   "
+                        f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f} "
+                        f"{mass:.5f} {q:8.5f} {al:.5f} "
+                        f"{eps:.5f} {sig:.5f} 0.00000 0.00000\n")
+        f.write("END\n")
 
 
 def build_state_co2(extra_mol_capacity: int = CO2_EXTRA_SLOTS):

@@ -31,6 +31,8 @@ import flagship  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BINARY = os.path.join(REPO, ".refbuild", "mpmcxx")
+WRITERS = {"ar": flagship.write_pqr, "co2": flagship.write_pqr_co2,
+           "h2": flagship.write_pqr_h2}
 CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 
@@ -64,8 +66,7 @@ basis3 0 0 {flagship.L}
 def timed_run(workdir: str, nsteps: int, P: int, model: str = "ar") -> float:
     d = os.path.join(workdir, f"{model}-n{nsteps}")
     os.makedirs(d, exist_ok=True)
-    writer = flagship.write_pqr if model == "ar" else flagship.write_pqr_co2
-    writer(os.path.join(d, "base.pqr"))
+    WRITERS[model](os.path.join(d, "base.pqr"))
     for s in range(P):
         shutil.copy(os.path.join(d, "base.pqr"),
                     os.path.join(d, f"flag.restart-{s:04d}.pqr"))
@@ -113,8 +114,7 @@ def rowtime_run(workdir: str, nsteps: int, P: int, model: str) -> float:
     fastest uncontended per-step wall time."""
     d = os.path.join(workdir, f"{model}-rowtime")
     os.makedirs(d, exist_ok=True)
-    writer = flagship.write_pqr if model == "ar" else flagship.write_pqr_co2
-    writer(os.path.join(d, "base.pqr"))
+    WRITERS[model](os.path.join(d, "base.pqr"))
     for s in range(P):
         shutil.copy(os.path.join(d, "base.pqr"),
                     os.path.join(d, f"flag.restart-{s:04d}.pqr"))
@@ -156,7 +156,8 @@ def main():
     ap.add_argument("--steps-b", type=int, default=3)
     ap.add_argument("-P", type=int, default=4)
     ap.add_argument("--workdir", default=os.path.join(REPO, ".bench_ref"))
-    ap.add_argument("--model", choices=("ar", "co2"), default="ar")
+    ap.add_argument("--model", choices=("ar", "co2", "h2"),
+                    default="ar")
     ap.add_argument("--rowtime", action="store_true",
                     help="single run, per-step from row timestamps")
     args = ap.parse_args()
@@ -188,9 +189,10 @@ def main():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
-    prefix = "flagship_" if args.model == "ar" else "flagship_co2_"
-    n_atoms = flagship.N_TOTAL if args.model == "ar" else \
-        flagship.N_TOTAL_CO2
+    prefix = {"ar": "flagship_", "co2": "flagship_co2_",
+              "h2": "flagship_h2_"}[args.model]
+    n_atoms = {"ar": flagship.N_TOTAL, "co2": flagship.N_TOTAL_CO2,
+               "h2": flagship.N_TOTAL_H2}[args.model]
     cache.update({
         prefix + "ref_moves_per_sec": rate,
         prefix + "n_atoms": n_atoms,
