@@ -59,10 +59,35 @@ def npt_factor(movetype, delta_energy, temperature, pressure,
 
 
 def nve_factor(total_energy, initial_energy, final_energy, N):
-    """(src/System.MonteCarlo.cpp:1459-1462)"""
-    num = (total_energy - final_energy) ** (1.5 * N)
-    den = (total_energy - initial_energy) ** (1.5 * N)
-    return num / den
+    """Microcanonical (E_tot - E)^{3N/2} weight ratio
+    (src/System.MonteCarlo.cpp:1459-1462), evaluated in log space: the
+    reference's direct pow overflows the TPU's emulated-f64 exponent
+    range (~1e+-38) once 1.5*N exceeds a handful, turning every step
+    into inf/inf -> NaN -> reject on-chip.
+
+    C pow sign semantics are preserved (a reference quirk): with
+    E > E_tot and 3N/2 integral, pow(negative, int) is signed and the
+    num/den signs cancel, so the reference chain keeps moving in the
+    "forbidden" region; with 3N/2 non-integral, pow(negative) is NaN
+    and the step rejects.  Only E_old == E_tot exactly (reference:
+    division by pow(0) -> inf) deviates, to a reject."""
+    num = total_energy - final_energy
+    den = total_energy - initial_energy
+    p = 1.5 * N
+    is_int = p == jnp.floor(p)
+    odd = (jnp.floor(p) % 2.0) == 1.0
+
+    def _sign_valid(base):
+        sign = jnp.where((base < 0.0) & odd, -1.0, 1.0)
+        valid = (base > 0.0) | ((base < 0.0) & is_int)
+        return sign, valid
+
+    s_num, v_num = _sign_valid(num)
+    s_den, v_den = _sign_valid(den)
+    valid = v_num & v_den
+    log_ratio = (jnp.log(jnp.abs(jnp.where(valid, num, 1.0)))
+                 - jnp.log(jnp.abs(jnp.where(valid, den, 1.0))))
+    return jnp.where(valid, s_num * s_den * jnp.exp(p * log_ratio), 0.0)
 
 
 def spin_partfunc_ratio(nuclear_spin_after, g, u):

@@ -140,6 +140,37 @@ class TestDetailedBalanceNVT:
 
 
 class TestMicrocanonicalNVE:
+    def test_factor_log_space_matches_pow_and_survives_overflow(self):
+        # the log-space evaluation must (a) match the reference's direct
+        # pow ratio bit-closely in the normal regime, (b) preserve the
+        # C-pow sign quirk (E > E_tot with integral 3N/2 keeps moving,
+        # non-integral rejects), and (c) stay finite at atom counts
+        # where the direct pow overflows (the TPU emulated-f64 exponent
+        # range is ~1e+-38; even CPU f64 dies by N ~ 140 here)
+        from mpmcxx_tpu.mc import metropolis
+
+        f = lambda *a: float(metropolis.nve_factor(*map(jnp.float64, a)))
+        # (a) normal regime vs direct pow
+        for N in (2, 5, 24):
+            direct = ((300.0 - 120.0) ** (1.5 * N)
+                      / (300.0 - 150.0) ** (1.5 * N))
+            assert f(300.0, 150.0, 120.0, N) == pytest.approx(
+                direct, rel=1e-12)
+        # (b) sign quirk: E > E_tot, 3N/2 = 9 (integral) -> positive
+        # ratio (chain moves); N = 3 -> 4.5 (non-integral) -> pow(neg)
+        # is NaN in C -> reject (0 here)
+        assert f(900.0, 96000.0, 95000.0, 6) == pytest.approx(
+            ((900.0 - 95000.0) / (900.0 - 96000.0)) ** 9.0, rel=1e-12)
+        # crossing num>0, den<0 with odd integral power -> negative in C
+        # -> uniform < bf never accepts; ours must also never accept
+        assert f(900.0, 96000.0, 800.0, 6) < 0.0
+        assert f(900.0, 96000.0, 95000.0, 3) == 0.0
+        # (c) overflow regime: (E_tot - E) ~ 1e3 at N = 1000 overflows
+        # any direct pow; the log form gives the exact finite ratio
+        expect = np.exp(1500.0 * (np.log(999.0) - np.log(998.0)))
+        assert f(1300.0, 302.0, 301.0, 1000) == pytest.approx(
+            expect, rel=1e-9)
+
     def test_configurational_weight(self):
         # NVE MC samples configurations with the microcanonical weight the
         # acceptance ratio implements: p(x) ~ (E_tot - U(x))^{3N/2}
