@@ -72,7 +72,11 @@ N_TOTAL_CO2 = G_FRAME ** 3 + 3 * N_CO2      # 10,112 live atoms
 N_H2 = 2000                       # live sorbate molecules
 H2_BOND = 0.371                   # H2G -> H2E (half the H-H bond), A
 H2_NOFF = 0.363                   # H2G -> H2N off-center LJ sites, A
-H2_Q_G, H2_Q_E = -0.846166, 0.423083        # |e|
+# exactly 5-decimal (the PQR writer's %8.5f quantum) and neutral: a
+# 6th decimal silently truncates on the reference side, and the ~1e5 K
+# screened intramolecular terms turn a 5e-6 charge error into a few K
+# of coulombic disagreement (found the hard way vs the oracle)
+H2_Q_G, H2_Q_E = -0.84616, 0.42308          # |e|
 H2_ALPHA_G = 0.6938               # A^3, COM site only
 H2_EPS_G, H2_SIG_G = 8.8516, 3.2293         # K, A
 H2_EPS_N, H2_SIG_N = 4.0659, 2.3406
@@ -179,6 +183,15 @@ H2_SITES = (  # (atomtype, mass, q_e, alpha, eps, sig)
     ("H2N", 0.0, 0.0, 0.0, H2_EPS_N, H2_SIG_N),
     ("H2N", 0.0, 0.0, 0.0, H2_EPS_N, H2_SIG_N),
 )
+
+# both sides must see bit-identical parameters: the PQR writers quantize
+# to %8.5f, so every charge/alpha (and mass) must already be 5-decimal
+for _sites in (CO2_SITES, H2_SITES):
+    for _row in _sites:
+        for _v in _row[1:]:
+            assert round(_v, 5) == _v, \
+                f"{_row[0]}: {_v!r} is not exact in the PQR %8.5f quantum"
+del _sites, _row, _v
 
 
 def build_state_h2(extra_mol_capacity: int = H2_EXTRA_SLOTS):
