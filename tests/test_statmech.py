@@ -165,6 +165,10 @@ class TestMicrocanonicalNVE:
         # -> uniform < bf never accepts; ours must also never accept
         assert f(900.0, 96000.0, 800.0, 6) < 0.0
         assert f(900.0, 96000.0, 95000.0, 3) == 0.0
+        # the reference's latent N=0 (src/System.cpp:916-927) degenerates
+        # to pow(x,0)/pow(y,0) = 1 (always accept) — ours does too when
+        # handed N=0, so the deviation is purely in which N is passed
+        assert f(900.0, 96000.0, 95000.0, 0) == 1.0
         # (c) overflow regime: (E_tot - E) ~ 1e3 at N = 1000 overflows
         # any direct pow; the log form gives the exact finite ratio
         expect = np.exp(1500.0 * (np.log(999.0) - np.log(998.0)))
