@@ -148,7 +148,8 @@ class TestShardedFlagshipChain:
     differ only by cross-device reduction order (refreshed every corrtime
     anyway).  Per-step sync role anchor: PathIntegral.cpp:763-766."""
 
-    def test_trajectory_identical_to_single_device(self):
+    @pytest.mark.parametrize("model", ["co2", "h2"])
+    def test_trajectory_identical_to_single_device(self, model):
         import os
         import sys
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -157,14 +158,16 @@ class TestShardedFlagshipChain:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__),
                                         "..", "tools"))
         import flagship
-        orig = (flagship.G_FRAME, flagship.N_CO2)
-        flagship.G_FRAME, flagship.N_CO2 = 4, 40
+        orig = (flagship.G_FRAME, flagship.N_CO2, flagship.N_H2)
+        flagship.G_FRAME, flagship.N_CO2, flagship.N_H2 = 4, 40, 40
         try:
-            state, _meta, flags, params, opts = flagship.build_state_co2(
+            builder = {"co2": flagship.build_state_co2,
+                       "h2": flagship.build_state_h2}[model]
+            state, _meta, flags, params, opts = builder(
                 extra_mol_capacity=8)
             topo = flagship.topology(state)
         finally:
-            flagship.G_FRAME, flagship.N_CO2 = orig
+            flagship.G_FRAME, flagship.N_CO2, flagship.N_H2 = orig
         assert state.n_atom_slots % 8 == 0   # planes shard evenly
 
         carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
