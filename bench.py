@@ -229,6 +229,40 @@ def load_baseline() -> dict:
 
 
 LAST_SUCCESS = os.path.join(os.path.dirname(__file__), ".bench_last.json")
+EXPECTED_CACHE = os.path.join(os.path.dirname(__file__),
+                              ".bench_expected.json")
+
+
+def check_regressions(result: dict) -> list:
+    """Compare every tracked metric against the committed best-known-good
+    values in .bench_expected.json; print a LOUD line for any metric more
+    than `tolerance` (default 15%) worse than its committed baseline.
+    Exists because round 3 silently halved the monatomic flagship
+    (BENCH_r03: 52.4 vs the published 106.1 moves/s) with no alarm."""
+    if not os.path.exists(EXPECTED_CACHE):
+        return []
+    with open(EXPECTED_CACHE) as f:
+        expected = json.load(f)
+    tol = float(expected.get("tolerance", 0.15))
+    measured = {"flagship_co2_moves_per_sec": result.get("value")}
+    measured.update(result.get("secondary", {}))
+    regressions = []
+    for name, spec in expected.get("metrics", {}).items():
+        got = measured.get(name)
+        if got is None or not isinstance(got, (int, float)):
+            continue
+        want = float(spec["value"])
+        hib = bool(spec.get("higher_is_better", True))
+        ratio = (got / want) if hib else (want / got) if got > 0 else 0.0
+        if ratio < 1.0 - tol:
+            line = (f"REGRESSION: {name} = {got:g} is "
+                    f"{(1.0 - ratio) * 100:.0f}% worse than the committed "
+                    f"baseline {want:g} ({spec.get('set_in', '?')})")
+            _log("!" * 72)
+            _log(line)
+            _log("!" * 72)
+            regressions.append(line)
+    return regressions
 
 
 def _load_last_success() -> dict:
@@ -329,6 +363,9 @@ def main():
     if ref_ar > 0:
         secondary["ref_flagship_monatomic_moves_per_sec"] = round(ref_ar, 4)
     result["secondary"] = secondary
+    regressions = check_regressions(result)
+    if regressions:
+        result["regressions"] = regressions
     _save_last_success(dict(result, measured_at=time.strftime("%Y-%m-%d %H:%M")))
     print(json.dumps(result))
 
