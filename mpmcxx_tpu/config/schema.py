@@ -65,6 +65,7 @@ class SimConfig:
     histogram_output: str = ""
     insert_input: str = ""
     surf_output: str = ""
+    surf_virial: bool = False   # no input keyword (System.h:829); SURF-only
     virial_output: str = ""
     long_output: bool = False
     parallel_restarts: bool = False
