@@ -581,12 +581,20 @@ class PISimulation:
     """PI-NVT run (PI_nvt_mc, src/SimulationControl.PathIntegral.cpp:31-196).
     """
 
-    def __init__(self, cfg: SimConfig, P: int = None, quiet: bool = False):
+    def __init__(self, cfg: SimConfig, P: int = None, quiet: bool = False,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh; places the bead axis
+        on its devices (bead-per-device, parallel/meshing.py) — the
+        TPU-native form of the reference's bead-per-rank MPI_Allgather
+        (src/SimulationControl.PathIntegral.cpp:752-805).  Requires
+        P %% n_devices == 0; trajectory is bit-identical to
+        single-device (tests/test_multichip_drivers.py)."""
         if P is None:
             P = cfg.total_trotter_number or 8
         self.P = P
         self.cfg = validate(cfg, n_systems=P)
         self.quiet = quiet
+        self.mesh = mesh
         self.out = sys.stdout
 
         basis = self._basis(cfg)
@@ -765,6 +773,10 @@ class PISimulation:
             accept=jnp.zeros(7, jnp.int64),
             reject=jnp.zeros(7, jnp.int64),
             bf=jnp.zeros(()))
+
+        if self.mesh is not None:
+            from ..parallel import meshing
+            carry = meshing.shard_pi_carry(carry, self.mesh, self.P)
 
         fp_energy = None
         fp_csv = None

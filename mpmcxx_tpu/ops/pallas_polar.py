@@ -122,7 +122,12 @@ def supported(A: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def col_write_supported(A: int, S: int) -> bool:
-    return A % 128 == 0 and A // 128 >= 2 and 2 <= S <= 128
+    # S == 1 matters too: a lone [A,1] column dynamic_update_slice makes
+    # XLA layout-assign part of the plane's use chain {0,1} against the
+    # SCF kernel's {1,0}, materialising a full-plane layout copy per
+    # committed plane per move (~1.4 ms at A=10752 -- the round-3
+    # monatomic-flagship 2x regression, BENCH_r03 52.4 vs 106 moves/s)
+    return A % 128 == 0 and A // 128 >= 2 and 1 <= S <= 128
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "br"))

@@ -72,9 +72,15 @@ class Simulation:
     """One standard-ensemble run (NVT / uVT / NPT / NVE)."""
 
     def __init__(self, cfg: SimConfig, quiet: bool = False,
-                 uvt_capacity_factor: float = 2.0):
+                 uvt_capacity_factor: float = 2.0, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh; row-shards the polar
+        cache's [A,A] SCF planes over its devices (parallel/meshing.py)
+        so the O(A^2) per-move work splits across chips.  Requires the
+        polar-incremental path; trajectory is bit-identical to
+        single-device (tests/test_multichip_drivers.py)."""
         self.cfg = validate(cfg)
         self.quiet = quiet
+        self.mesh = mesh
         self.out = sys.stdout
 
         atoms = pqr_io.read_pqr(
@@ -216,6 +222,14 @@ class Simulation:
         seed = cfg.preset_seed if cfg.preset_seed_on else 0
         self.carry = chain_mod.init_carry(self.state, self.flags, self.params,
                                           self.opts, seed)
+        if mesh is not None:
+            if not self.opts.polar_incremental:
+                raise ValueError(
+                    "mesh sharding requires the polar-incremental cache "
+                    "(polarization + polar_mixed); this config has no "
+                    "[A,A] planes to shard")
+            from .parallel import meshing
+            self.carry = meshing.shard_chain_carry(self.carry, mesh)
         self.topology = topology(self.state)
         # no donate=True here: Simulation keeps host-side reads of
         # self.state's (shared) buffers alive across chunks
@@ -334,6 +348,9 @@ class Simulation:
             key=base_carry.key, step=base_carry.step,
             stats=base_carry.stats, temperature=base_carry.temperature,
             cavity=base_carry.cavity)
+        if self.mesh is not None:
+            from .parallel import meshing
+            self.carry = meshing.shard_chain_carry(self.carry, self.mesh)
 
     def _corrtime_io(self, step: int):
         obs = _obs_to_dict(self.carry.obs)
@@ -429,6 +446,12 @@ class Simulation:
             # full recompute every corrtime: kills Delta-E drift (the
             # flag_all_pairs role) and refreshes observables exactly
             self.carry = self.refresh(self.carry)
+            if self.mesh is not None:
+                # refresh rebuilds the planes from scratch; re-pin them
+                # to the mesh so the next chunk stays row-sharded
+                from .parallel import meshing
+                self.carry = meshing.shard_chain_carry(self.carry,
+                                                       self.mesh)
             step += n
 
             acc = np.asarray(self.carry.stats.accept)

@@ -200,17 +200,20 @@ class TestColumnWriteKernel:
         placement class (interior, 128-lane tile straddle, array tail)."""
         from mpmcxx_tpu.ops import pallas_polar
         rng = np.random.default_rng(7)
-        A, S = 512, 3
-        assert pallas_polar.col_write_supported(A, S)
-        plane = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
-        cols = jnp.asarray(rng.normal(size=(A, S)), jnp.float32)
-        for start in (0, 17, 126, 127, 128, 255, 383, A - S):
-            got = pallas_polar.write_columns_pallas(
-                plane, cols, jnp.asarray(start, jnp.int32), interpret=True)
-            want = plane
-            for s in range(S):
-                want = jax.lax.dynamic_update_slice(
-                    want, cols[:, s:s + 1],
-                    (jnp.zeros((), jnp.int32), jnp.asarray(start + s,
-                                                           jnp.int32)))
-            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        A = 512
+        for S in (1, 3):       # S=1 is the monatomic commit path
+            assert pallas_polar.col_write_supported(A, S)
+            plane = jnp.asarray(rng.normal(size=(A, A)), jnp.float32)
+            cols = jnp.asarray(rng.normal(size=(A, S)), jnp.float32)
+            for start in (0, 17, 126, 127, 128, 255, 383, A - S):
+                got = pallas_polar.write_columns_pallas(
+                    plane, cols, jnp.asarray(start, jnp.int32),
+                    interpret=True)
+                want = plane
+                for s in range(S):
+                    want = jax.lax.dynamic_update_slice(
+                        want, cols[:, s:s + 1],
+                        (jnp.zeros((), jnp.int32), jnp.asarray(start + s,
+                                                               jnp.int32)))
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
