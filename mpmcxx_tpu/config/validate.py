@@ -211,14 +211,18 @@ def _check_polarization_options(cfg: SimConfig) -> None:
             raise ConfigError("both polar_gs and polar_gs_ranked cannot "
                               "be set")
         if (cfg.polar_gs or cfg.polar_gs_ranked) and cfg.polar_max_iter > 0:
-            # MIGRATION.md "Gauss-Seidel iterates": converged fixed points
-            # match the reference (polar_gs goldens), but the reference's
-            # sequential in-sweep update order (System.Energy.cpp:
-            # 3564-3597) is not reproduced at finite iteration counts
+            # MIGRATION.md "Gauss-Seidel iterates": the exact A-matrix
+            # path (systems <= ~1k atoms) runs the reference's true
+            # sequential sweep (ops/polar._gs_sweep) with bit-identical
+            # finite-K iterates; the blocked/mixed large-system paths
+            # iterate Jacobi (same converged fixed point, polar_gs
+            # goldens; System.Energy.cpp:3564-3597)
             warnings.warn(
                 "polar_gs/polar_gs_ranked with fixed polar_max_iter: "
-                "iterates differ from the reference's sequential "
-                "Gauss-Seidel sweep (converged fixed points match; see "
+                "finite-K iterates match the reference's sequential "
+                "Gauss-Seidel sweep only on the exact A-matrix path "
+                "(small systems); the blocked large-system path iterates "
+                "Jacobi order (converged fixed points match; see "
                 "MIGRATION.md)", stacklevel=2)
 
     if cfg.polarvdw:

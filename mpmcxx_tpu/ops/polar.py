@@ -270,14 +270,67 @@ def _apply_relax(flags: FFlags, params: RunParams, new_mu, old_mu, it):
     return new_mu
 
 
+def gs_rank_order(state: SystemState, pt: PairTensors):
+    """The ranked-GS iteration order: descending rank_metric, where the
+    metric counts polarizable neighbours within 1.5x the smallest
+    polarizable separation (src/System.cpp:1001-1029; each unordered
+    pair increments both ends, i.e. a symmetric adjacency row-sum) and
+    the bubble sort of update_ranking (src/System.Energy.cpp:3631-3653)
+    is descending and stable for ties."""
+    A = state.n_atom_slots
+    pol = (state.polarizability != 0.0) & state.atom_alive()
+    ok = pol[:, None] & pol[None, :] & ~jnp.eye(A, dtype=bool) & pt.alive
+    r = jnp.where(ok, pt.rimg, const.MAXVALUE)
+    rmin = jnp.min(r)
+    metric = jnp.sum(ok & (pt.rimg <= 1.5 * rmin), axis=1).astype(
+        jnp.float64)
+    return jnp.argsort(-metric, stable=True).astype(jnp.int32)
+
+
+def _gs_sweep(Amat, E_static, alpha, alive, mu, order):
+    """One sequential Gauss-Seidel sweep in ``order``: each atom's new
+    dipole is visible to the atoms after it in the same sweep
+    (contract_dipoles with polar_gs/gs_ranked,
+    src/System.Energy.cpp:3564-3598).  Inherently serial — an
+    A-iteration lax.fori_loop of O(A) row contractions — so it exists
+    on the exact A-matrix path only (A <= ~1k systems, the regime
+    where reference-default GS configs live); the blocked/mixed
+    large-system paths keep the Jacobi order."""
+    def body(k, mu):
+        i = order[k]
+        Arow = jax.lax.dynamic_index_in_dim(Amat, i, 0, keepdims=False)
+        mu_i = jax.lax.dynamic_index_in_dim(mu, i, 0, keepdims=False)
+        self_blk = jax.lax.dynamic_index_in_dim(Arow, i, 0, keepdims=False)
+        # off-diagonal contraction: remove the self block's contribution
+        ef = -jnp.einsum("jpq,jq->p", Arow, mu) + self_blk @ mu_i
+        a_i = jax.lax.dynamic_index_in_dim(alpha, i, 0, keepdims=False)
+        e_i = jax.lax.dynamic_index_in_dim(E_static, i, 0, keepdims=False)
+        ok_i = jax.lax.dynamic_index_in_dim(alive, i, 0, keepdims=False)
+        new_i = jnp.where(ok_i & (a_i != 0.0), a_i * (e_i + ef), 0.0)
+        return jax.lax.dynamic_update_slice(
+            mu, new_i[None, :], (i, jnp.zeros((), order.dtype)))
+
+    return jax.lax.fori_loop(0, mu.shape[0], body, mu)
+
+
 def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
-                    params: RunParams, contract_fn=None):
+                    params: RunParams, contract_fn=None, rank_order=None):
     """Fixed-point dipole solver (src/System.Energy.cpp:3450-3543).
 
     Implements the reference's non-Gauss-Seidel update order (contract with
     previous sweep's dipoles) including SOR/ESOR relaxation, fixed-iteration
     and precision-based termination, and the 128-iteration divergence
     fallback (mu = alpha*E_static, iterator_failed).
+
+    With ``polar_gs`` / ``polar_gs_ranked`` on the exact A-matrix path
+    (Amat given, contract_fn None) the sweep is the reference's TRUE
+    sequential Gauss-Seidel (_gs_sweep): sweep 1 runs in natural atom
+    order, later sweeps in ``rank_order`` when given (update_ranking
+    runs after each contraction, src/System.Energy.cpp:3521-3523, so the
+    first sweep predates any ranking) — finite-K iterates, and hence
+    fixed-polar_max_iter trajectories, match the reference bit-for-bit
+    (tests/test_polar_gs_iterates.py).  The large-system blocked/mixed
+    paths keep the Jacobi order (same fixed point; validation warns).
     """
     alpha = state.polarizability[:, None]
     alive = state.atom_alive()[:, None]
@@ -310,6 +363,51 @@ def thole_iterative(state: SystemState, Amat, E_static, flags: FFlags,
 
     contract = contract_fn if contract_fn is not None else \
         (lambda mu: _contract(Amat, mu))
+
+    seq_gs = (flags.polar_gs or flags.polar_gs_ranked) and \
+        Amat is not None and contract_fn is None
+    if seq_gs:
+        alive1 = state.atom_alive()
+        alpha1 = state.polarizability
+        nat = jnp.arange(mu0.shape[0], dtype=jnp.int32)
+        rk = nat if rank_order is None else rank_order
+
+        def gs_iterate(mu, it):
+            order = jnp.where(it <= 1, nat, rk)
+            return _gs_sweep(Amat, E_static, alpha1, alive1, mu, order)
+
+        if params.polar_precision == 0.0 and max_iter <= 16:
+            mu, old_mu = mu0, jnp.zeros_like(mu0)
+            for it in range(1, max_iter + 1):
+                new_mu = gs_iterate(mu, jnp.asarray(it, jnp.int32))
+                mu, old_mu = _apply_relax(flags, params, new_mu, mu, it), mu
+            iters = jnp.asarray(max_iter, jnp.int32)
+        else:
+            def cond(c):
+                mu, old, it, done = c
+                return ~done & (it < max_iter)
+
+            def body(c):
+                mu, old, it, _ = c
+                it = it + 1
+                new_mu = gs_iterate(mu, it)
+                if params.polar_precision == 0.0:
+                    done = it >= max_iter
+                else:
+                    done = jnp.all((new_mu - mu) ** 2 <= allowed_sqerr)
+                return (_apply_relax(flags, params, new_mu, mu, it), mu,
+                        it, done)
+
+            mu, old_mu, iters, done = jax.lax.while_loop(
+                cond, body, (mu0, jnp.zeros_like(mu0),
+                             jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+            failed = (params.polar_precision > 0.0) & ~done
+            mu = jnp.where(failed,
+                           jnp.where(alive, alpha * E_static, 0.0), mu)
+            rrms = _dipole_rrms_mean(state, mu, old_mu)
+            return mu, iters.astype(jnp.float64), failed, rrms
+        rrms = _dipole_rrms_mean(state, mu, old_mu)
+        return (mu, iters.astype(jnp.float64), jnp.zeros((), bool), rrms)
 
     if params.polar_precision == 0.0 and max_iter <= 16:
         # fixed iteration count: unroll statically.  A nested
@@ -866,8 +964,10 @@ def polar(state: SystemState, pt: PairTensors, flags: FFlags,
     E_static = thole_field(state, pt, flags, params)
 
     if flags.polar_iterative:
+        ro = gs_rank_order(state, pt) if flags.polar_gs_ranked else None
         mu, iters, failed, rrms = thole_iterative(state, Amat, E_static,
-                                                  flags, params)
+                                                  flags, params,
+                                                  rank_order=ro)
         pot = jnp.sum(mu * E_static)
         if flags.polar_palmo:
             # Palmo: change in induced field between one more contraction and
