@@ -101,8 +101,13 @@ def flagship_moves_per_sec(model: str = "co2", repeats: int = 3) -> dict:
         label = "monatomic"
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     topo = flagship.topology(state)
-    runner = chain_mod.make_chunk_runner(flags, params, opts, CHUNK,
-                                         topology=topo)
+    # planes-only donation dispatches fine on axon (unlike the whole
+    # carry) and removes the jit-boundary plane entry copies: measured
+    # 158.9 vs 157.7 moves/s on the CO2 flagship (tools/ab_planes.py
+    # --donate-ab, r4)
+    runner = chain_mod.make_chunk_runner(
+        flags, params, opts, CHUNK, topology=topo,
+        donate="planes" if opts.polar_incremental else False)
 
     _log(f"flagship[{model}]: compiling {n_total}-atom ({label}) "
          f"polarizable GCMC chunk ({CHUNK} steps)...")

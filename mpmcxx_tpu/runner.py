@@ -231,13 +231,19 @@ class Simulation:
             from .parallel import meshing
             self.carry = meshing.shard_chain_carry(self.carry, mesh)
         self.topology = topology(self.state)
-        # no donate=True here: Simulation keeps host-side reads of
-        # self.state's (shared) buffers alive across chunks
-        # (_particle_mass, dipole reporting), which donation would
-        # invalidate; the entry copy amortizes over a full corrtime.
+        # planes-only donation: only the [A,A] polar-cache planes are
+        # consumed at the jit boundary (never read host-side; the
+        # regrowth/refresh/report paths touch state + small leaves
+        # only), killing the per-chunk plane entry copies.  Whole-carry
+        # donation stays off: Simulation keeps host-side reads of
+        # self.state's buffers alive across chunks (_particle_mass,
+        # dipole reporting).  Off under a mesh: donating device_put
+        # sharded buffers is untested on the axon runtime.
+        self._donate = "planes" if (self.opts.polar_incremental and
+                                    mesh is None) else False
         self.run_chunk = chain_mod.make_chunk_runner(
             self.flags, self.params, self.opts, cfg.corrtime,
-            topology=self.topology)
+            topology=self.topology, donate=self._donate)
         self.refresh = chain_mod.make_refresher(self.flags, self.params,
                                                 self.opts)
 
@@ -328,7 +334,7 @@ class Simulation:
         self.topology = topology(self.state)
         self.run_chunk = chain_mod.make_chunk_runner(
             self.flags, self.params, self.opts, self.cfg.corrtime,
-            topology=self.topology)
+            topology=self.topology, donate=self._donate)
         self.refresh = chain_mod.make_refresher(self.flags, self.params,
                                                 self.opts)
         if self.sorbates is not None:
@@ -431,7 +437,7 @@ class Simulation:
             if n != cfg.corrtime:
                 runner = chain_mod.make_chunk_runner(
                     self.flags, self.params, self.opts, n,
-                    topology=self.topology)
+                    topology=self.topology, donate=self._donate)
             else:
                 runner = self.run_chunk
             prev_carry = self.carry
