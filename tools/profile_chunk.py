@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--model", default="co2", choices=("co2", "mono"))
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--donate", action="store_true",
+                    help="planes-only donation (the production config)")
     args = ap.parse_args()
 
     import jax
@@ -51,8 +53,9 @@ def main():
         state, _meta, flags, params, opts = flagship.build_state()
     carry = chain_mod.init_carry(state, flags, params, opts, seed=0)
     topo = flagship.topology(state)
-    runner = chain_mod.make_chunk_runner(flags, params, opts, args.chunk,
-                                         topology=topo)
+    runner = chain_mod.make_chunk_runner(
+        flags, params, opts, args.chunk, topology=topo,
+        donate="planes" if args.donate else False)
     print(f"[{time.time() - t0:6.1f}s] compiling + warming one chunk...",
           flush=True)
     carry, _ = runner(carry)
