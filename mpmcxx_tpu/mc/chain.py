@@ -222,6 +222,40 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
     else:
         rows_of = None
 
+    # Statically-possible movetypes for this compiled config, and the
+    # union of state fields their branches can mutate.  Pruning matters
+    # twice on TPU: dead switch branches still compile, and EVERY field
+    # any branch returns is copied into and out of the XLA conditional
+    # each move (~1 us fixed cost per buffer — the full-state switch
+    # profiled at 88-139 us/move as `conditional.14`).  The switch
+    # therefore routes only the mutable-field diff; untouched fields
+    # bypass it entirely (and the post-accept select over them folds
+    # away, select(p,x,x) -> x).
+    _possible = [const.MOVETYPE_DISPLACE]
+    _diff_fields = ["pos"]
+    if opts.ensemble == const.ENSEMBLE_UVT:
+        _possible += [const.MOVETYPE_INSERT, const.MOVETYPE_REMOVE,
+                      const.MOVETYPE_ADIABATIC]
+        _diff_fields += ["mol_alive", "aalive", "nuclear_spin"]
+    if opts.quantum_rotation and opts.ensemble in (
+            const.ENSEMBLE_UVT, const.ENSEMBLE_NVT, const.ENSEMBLE_NVE):
+        _possible.append(const.MOVETYPE_SPINFLIP)
+        if "nuclear_spin" not in _diff_fields:
+            _diff_fields.append("nuclear_spin")
+    if opts.ensemble == const.ENSEMBLE_NPT:
+        _possible.append(const.MOVETYPE_VOLUME)
+        _diff_fields.append("pbc")
+    if opts.spectre:
+        _diff_fields.append("charge")
+    if opts.gwp:
+        _diff_fields.append("gwp_alpha")
+    _possible = sorted(_possible)
+    # movetype value -> branch position (identity fallback 0 for
+    # impossible values; _pick_movetype never emits them)
+    _branch_lut = jnp.asarray(
+        [(_possible.index(m) if m in _possible else 0) for m in range(7)],
+        jnp.int32)
+
     def apply_move(state: SystemState, key, movetype, target,
                    insert_com=None, insert_slot=None):
         k1, = jax.random.split(key, 1)
@@ -284,9 +318,26 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
             return moves.volume_change(s, k1, opts.volume_change_factor), \
                 jnp.asarray(True)
 
-        branches = [do_insert, do_remove, do_displace, do_adiabatic,
-                    do_spinflip, do_volume]
-        return jax.lax.switch(movetype, branches, state)
+        _by_movetype = {const.MOVETYPE_INSERT: do_insert,
+                        const.MOVETYPE_REMOVE: do_remove,
+                        const.MOVETYPE_DISPLACE: do_displace,
+                        const.MOVETYPE_ADIABATIC: do_adiabatic,
+                        const.MOVETYPE_SPINFLIP: do_spinflip,
+                        const.MOVETYPE_VOLUME: do_volume}
+
+        def _as_diff(fn):
+            def g(s):
+                ns, valid = fn(s)
+                return tuple(getattr(ns, f) for f in _diff_fields), valid
+            return g
+
+        branches = [_as_diff(_by_movetype[m]) for m in _possible]
+        if len(branches) == 1:
+            diff, valid = branches[0](state)
+        else:
+            diff, valid = jax.lax.switch(_branch_lut[movetype], branches,
+                                         state)
+        return state.replace(**dict(zip(_diff_fields, diff))), valid
 
     def step(carry: MCCarry, _):
         key, k_move, k_target, k_apply, k_acc, k_cav = \
@@ -679,12 +730,17 @@ def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
                                              _carry_drop_planes(carry))
             return _carry_with_planes(rest2, planes2), outs
 
+        # profiling hook: lower the underlying jitted computation for a
+        # given carry (tools/profile_chunk.py --dump-hlo)
+        run_chunk.lower_hlo = lambda c: run_split.lower(
+            _carry_planes(c), _carry_drop_planes(c))
         return run_chunk
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_chunk(carry: MCCarry):
         return jax.lax.scan(step, carry, None, length=chunk_steps)
 
+    run_chunk.lower_hlo = run_chunk.lower
     return run_chunk
 
 

@@ -351,9 +351,12 @@ def contract_pallas_sym(planes, mu, l=0.0, interpret=False, block=None):
     )(m8, mT, *planes)
 
     # fold the transpose contributions: plane c's source block i targets
-    # column block (i+c) % nr -> roll right by c*b and sum over c
-    shifts = jnp.arange(nc2) * b
-    rolled = jax.vmap(lambda p, s: jnp.roll(p, s, axis=-1))(out_col, shifts)
-    ef_col = jnp.sum(rolled, axis=0)                       # [8, A]
+    # column block (i+c) % nr -> roll right by c*b and sum over c.
+    # STATIC shifts: a vmap over traced shifts lowers each roll to a
+    # serial while loop (~12 us/move for 4 SCF iterations, profiled r4);
+    # a static python loop lowers to fused concat/slice instead.
+    ef_col = out_col[0]
+    for c in range(1, nc2):
+        ef_col = ef_col + jnp.roll(out_col[c], c * b, axis=-1)
     total = out_row[:, :3] + ef_col[:3, :].T
     return -total.astype(jnp.float64)

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--donate", action="store_true",
                     help="planes-only donation (the production config)")
+    ap.add_argument("--dump-hlo", metavar="PATH", default=None,
+                    help="write the backend-compiled HLO text to PATH and "
+                         "exit (no trace). Grep it for the profiled op "
+                         "names (conditional.N, fusion.N) and read their "
+                         "metadata source_file/source_line.")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +61,16 @@ def main():
     runner = chain_mod.make_chunk_runner(
         flags, params, opts, args.chunk, topology=topo,
         donate="planes" if args.donate else False)
+    if args.dump_hlo:
+        print(f"[{time.time() - t0:6.1f}s] lowering + compiling for HLO "
+              f"dump...", flush=True)
+        txt = runner.lower_hlo(carry).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"[{time.time() - t0:6.1f}s] wrote {len(txt)} bytes to "
+              f"{args.dump_hlo}", flush=True)
+        return
+
     print(f"[{time.time() - t0:6.1f}s] compiling + warming one chunk...",
           flush=True)
     carry, _ = runner(carry)

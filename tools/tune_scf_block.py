@@ -55,7 +55,13 @@ def main():
     _log(f"{len(coeffs)} planes; triangle bytes/pass = {gb:.3f} GB "
          f"(HBM floor ~{gb / 0.819 * 1e3:.2f} ms at 819 GB/s)")
 
-    cands = [b for b in (2048, 1536, 1408, 1024, 768, 512, 256)
+    # b >= 1024 excluded: Mosaic compile time is pathological there on
+    # this backend (b=1408 ran >30 min then broke the tunnel pipe;
+    # b=1024 was still compiling at 22 min when killed — r4).  Blocks
+    # must be multiples of 128 that divide A, so for the flagship
+    # A = 2^k x 11 capacities the practical ladder is just 512/256/128;
+    # b=512 is the production default (_pick_b_sym).
+    cands = [b for b in (512, 256, 128)
              if A % b == 0 and A // b >= 2]
     _log(f"candidate blocks: {cands}")
     results = {}
