@@ -78,10 +78,16 @@ def write_box(path, n, L, seed):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=120000)
+    ap.add_argument("--steps", type=int, default=600000)
     ap.add_argument("--corrtime", type=int, default=400)
     ap.add_argument("--warmup-frac", type=float, default=0.33)
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--init", choices=("even", "lever"), default="lever",
+                    help="even: 128/128 split (the r4 first attempt — the "
+                    "vapor box was still draining at 120k steps, only ~215 "
+                    "transfer accepts); lever: split N by the lever rule at "
+                    "the literature densities so transfers only handle "
+                    "fluctuations, the standard GEMC start")
     args = ap.parse_args()
 
     import jax
@@ -96,10 +102,23 @@ def main():
     _log(f"T = {T_K:.2f} K (T* = {TSTAR}), box L = {L:.2f} A, "
          f"{N_BOX} atoms/box, rho*_total = {RHO_TOTAL}")
 
+    n_total, V_total = 2 * N_BOX, 2 * V_box
+    if args.init == "lever":
+        # lever rule at the literature densities: with total (N, V) fixed,
+        # V_l*rho_l + (V_total - V_l)*rho_v = N  =>  equilibrium box loads
+        rl, rv = LIT["rho_l"][0] / SIG ** 3, LIT["rho_v"][0] / SIG ** 3
+        V_l = (n_total - V_total * rv) / (rl - rv)
+        n_a = int(round(rl * V_l))
+        n_b = n_total - n_a
+    else:
+        n_a = n_b = N_BOX
+    _log(f"init '{args.init}': N = ({n_a}, {n_b}) in equal boxes "
+         f"(volume moves re-partition V much faster than transfers move N)")
+
     td = tempfile.mkdtemp(prefix="gibbs_vle_")
     os.chdir(td)
-    write_box("boxA.pqr", N_BOX, L, args.seed)
-    write_box("boxB.pqr", N_BOX, L, args.seed + 1)
+    write_box("boxA.pqr", n_a, L, args.seed)
+    write_box("boxB.pqr", n_b, L, args.seed + 1)
     with open("run.in", "w") as f:
         f.write(f"""job_name vle
 ensemble nvt_gibbs
