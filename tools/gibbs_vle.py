@@ -122,6 +122,7 @@ def main():
     with open("run.in", "w") as f:
         f.write(f"""job_name vle
 ensemble nvt_gibbs
+rd_lrc on
 temperature {T_K}
 transfer_probability 0.25
 volume_probability 0.02
