@@ -21,9 +21,14 @@ sigma (finite-size GEMC at N=256 carries a small systematic shift vs
 the thermodynamic limit) validates the volume-exchange acceptance law
 end-to-end.
 
-Usage: python tools/gibbs_vle.py [--steps 120000] [--corrtime 400]
+Usage: python -m tools.gibbs_vle [--steps 600000] [--corrtime 400]
                                  [--warmup-frac 0.33] [--seed 4]
 Prints a table + verdict; results go into README Fidelity by hand.
+
+r4 result (defaults: lever start, move_factor 0.05, 600k steps):
+rho_l* = 0.7477 +- 0.0033 (0.32 sigma), rho_v* = 0.0139 +- 0.0014
+(0.35 sigma) -> PASS.  See README Fidelity for the two diagnostic
+dead ends (even split, move_factor 0.4) preserved behind flags.
 """
 
 from __future__ import annotations
@@ -82,6 +87,11 @@ def main():
     ap.add_argument("--corrtime", type=int, default=400)
     ap.add_argument("--warmup-frac", type=float, default=0.33)
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--move-factor", type=float, default=0.05,
+                    help="translation scale in units of the cutoff; the "
+                    "r4 first attempts used 0.4 (~4.8 A max steps, near-zero "
+                    "liquid acceptance -> unrelaxed liquid, too-high "
+                    "pressure, under-dense boxes)")
     ap.add_argument("--init", choices=("even", "lever"), default="lever",
                     help="even: 128/128 split (the r4 first attempt — the "
                     "vapor box was still draining at 120k steps, only ~215 "
@@ -130,7 +140,7 @@ volume_change_factor 0.10
 numsteps {args.steps}
 corrtime {args.corrtime}
 seed {args.seed}
-move_factor 0.4
+move_factor {args.move_factor}
 pqr_input boxA.pqr
 pqr_input_B boxB.pqr
 energy_output off
