@@ -264,11 +264,17 @@ def make_gibbs_step(flags: FFlags, base_params: RunParams,
         # coupled volume factor. NOTE deliberate deviation: the reference's
         # algebra at src/SimulationControl.Gibbs.cpp:466-468 reduces to
         # (V_old/V_new)^N — the reciprocal of the detailed-balance-correct
-        # Gibbs volume acceptance. We use the standard
-        # (V_new/V_old)^N_A (V_new/V_old)^N_B exp(-beta dE) form.
+        # Gibbs volume acceptance.  We use the standard form for a
+        # log-uniform proposal in V_A (do_volume samples ln V_A, with
+        # V_B = V_tot - V_A): the d(ln V_A) -> dV_A Jacobian adds one
+        # power of (V_A'/V_A) on the sampled box only (Frenkel & Smit
+        # alg. 18 has +1 on BOTH boxes because it samples ln(V_A/V_B)).
+        # Physics-validated against published LJ coexistence densities
+        # at 0.3-0.4 sigma (tools/gibbs_vle.py, README Fidelity).
         va, vb = sa.pbc.volume, sb.pbc.volume
         dV = na_s.pbc.volume - va
-        bf_vol = ((va + dV) / va) ** obs_a.N * ((vb - dV) / vb) ** obs_b.N \
+        bf_vol = ((va + dV) / va) ** (obs_a.N + 1.0) \
+            * ((vb - dV) / vb) ** obs_b.N \
             * jnp.exp(-beta * dEa - beta * dEb)
 
         bf_joint = jnp.where(movetype == const.MOVETYPE_VOLUME, bf_vol,

@@ -90,6 +90,65 @@ class TestGibbs:
         assert np.isfinite(float(carry.energy_a))
         assert np.isfinite(float(carry.energy_b))
 
+    def test_ideal_gas_volume_marginal_uniform(self):
+        """For an ideal gas, summing the Gibbs weight over N_a gives a
+        V_a marginal that is exactly UNIFORM on (0, V_total) — a sharp
+        statmech gate on the coupled volume-exchange acceptance.  The
+        proposal samples ln V_a, so the correct factor is
+        (V_a'/V_a)^(N_a+1) (V_b'/V_b)^(N_b): dropping the d(lnV)->dV
+        Jacobian's +1 tilts the marginal to 1/V_a (median ~ sqrt of the
+        range, ~3x low); the reference's inverted ratio
+        (src/SimulationControl.Gibbs.cpp:466) inverts the tilt entirely.
+        Gates are loose (the log-walk under-visits the V_b -> 0 edge)
+        but either wrong law fails them by a wide margin."""
+
+        def ideal_box(n, L, seed):
+            rng = np.random.default_rng(seed)
+            return build_state(
+                [AtomRecord("Ar", "Ar", m + 1, x=float(x), y=float(y),
+                            z=float(z), mass=39.948)
+                 for m, (x, y, z) in enumerate(
+                     rng.uniform(-L / 2, L / 2, (n, 3)))],
+                np.eye(3) * L, extra_mol_capacity=16)
+
+        sa, _ = ideal_box(8, 10.0, 1)
+        sb, _ = ideal_box(8, 10.0, 2)
+        flags = FFlags()
+        params = RunParams(temperature=100.0)
+        def eo(state):
+            eb = energy_breakdown(state, flags, params)
+            return eb.total, chain_mod.observables_from_breakdown(
+                state, eb, flags, params, const.ENSEMBLE_NVT_GIBBS)
+        ea, oa = eo(sa)
+        eb_, ob = eo(sb)
+        carry = gibbs_mod.GibbsCarry(
+            sa, sb, ea, eb_, oa, ob,
+            jnp.asarray(100.0), jax.random.PRNGKey(17),
+            jnp.zeros((), jnp.int64), jnp.zeros(7, jnp.int64),
+            jnp.zeros(7, jnp.int64),
+            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)),
+            gibbs_mod.delta_mod.SFCache(jnp.zeros(0), jnp.zeros(0)),
+            jnp.zeros(()), jnp.zeros(()))
+        opts = gibbs_mod.GibbsOptions(
+            move_factor=0.2, volume_probability=0.4,
+            transfer_probability=0.3, volume_change_factor=0.5)
+        step = gibbs_mod.make_gibbs_step(flags, params, opts)
+
+        @jax.jit
+        def chunk(c):
+            return jax.lax.scan(step, c, None, length=200)
+
+        vas = []
+        for _ in range(400):
+            carry, _ = chunk(carry)
+            vas.append(float(carry.state_a.pbc.volume))
+        va = np.asarray(vas[80:])
+        V = 2 * 10.0 ** 3
+        # uniform: mean 1000, median 1000; 1/V_a law: median ~ 250;
+        # inverted law: median ~ 1750
+        assert 780.0 < va.mean() < 1220.0
+        assert 650.0 < np.median(va) < 1350.0
+
 
 class TestReplicas:
     def test_replicated_chains_diverge(self):

@@ -25,10 +25,15 @@ Usage: python -m tools.gibbs_vle [--steps 600000] [--corrtime 400]
                                  [--warmup-frac 0.33] [--seed 4]
 Prints a table + verdict; results go into README Fidelity by hand.
 
-r4 result (defaults: lever start, move_factor 0.05, 600k steps):
-rho_l* = 0.7477 +- 0.0033 (0.32 sigma), rho_v* = 0.0139 +- 0.0014
-(0.35 sigma) -> PASS.  See README Fidelity for the two diagnostic
-dead ends (even split, move_factor 0.4) preserved behind flags.
+r4 results (defaults: lever start, move_factor 0.05, 600k steps),
+with the corrected d(lnV)->dV Jacobian in the volume acceptance
+(mc/gibbs.py bf_vol; tests/test_gibbs_replicas.py has the ideal-gas
+uniform-V_a gate): seeds 4/5 give rho_l* = 0.7472+-0.0033 /
+0.7485+-0.0030 (0.17 / 0.56 sigma) and rho_v* = 0.0098+-0.0009 /
+0.0110+-0.0012 (1.9-2.7 sigma low — the 2x128 vapor box holds only
+~7 atoms; --nbox 256 shrinks the small-N depletion) -> PASS.  See
+README Fidelity for the two diagnostic dead ends (even split,
+move_factor 0.4) preserved behind flags.
 """
 
 from __future__ import annotations
@@ -87,6 +92,9 @@ def main():
     ap.add_argument("--corrtime", type=int, default=400)
     ap.add_argument("--warmup-frac", type=float, default=0.33)
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--nbox", type=int, default=N_BOX,
+                    help="atoms per box at the even split (total 2*nbox); "
+                    "larger totals shrink the small-N GEMC vapor depletion")
     ap.add_argument("--move-factor", type=float, default=0.05,
                     help="translation scale in units of the cutoff; the "
                     "r4 first attempts used 0.4 (~4.8 A max steps, near-zero "
@@ -107,12 +115,13 @@ def main():
     from mpmcxx_tpu.config.parser import read_config
     from mpmcxx_tpu.mc.gibbs import GibbsSimulation
 
-    V_box = N_BOX / RHO_TOTAL * SIG ** 3     # A^3 per box
+    n_box = args.nbox
+    V_box = n_box / RHO_TOTAL * SIG ** 3     # A^3 per box
     L = V_box ** (1 / 3)
     _log(f"T = {T_K:.2f} K (T* = {TSTAR}), box L = {L:.2f} A, "
-         f"{N_BOX} atoms/box, rho*_total = {RHO_TOTAL}")
+         f"{n_box} atoms/box, rho*_total = {RHO_TOTAL}")
 
-    n_total, V_total = 2 * N_BOX, 2 * V_box
+    n_total, V_total = 2 * n_box, 2 * V_box
     if args.init == "lever":
         # lever rule at the literature densities: with total (N, V) fixed,
         # V_l*rho_l + (V_total - V_l)*rho_v = N  =>  equilibrium box loads
@@ -121,7 +130,7 @@ def main():
         n_a = int(round(rl * V_l))
         n_b = n_total - n_a
     else:
-        n_a = n_b = N_BOX
+        n_a = n_b = n_box
     _log(f"init '{args.init}': N = ({n_a}, {n_b}) in equal boxes "
          f"(volume moves re-partition V much faster than transfers move N)")
 
