@@ -360,3 +360,160 @@ def contract_pallas_sym(planes, mu, l=0.0, interpret=False, block=None):
         ef_col = ef_col + jnp.roll(out_col[c], c * b, axis=-1)
     total = out_row[:, :3] + ef_col[:3, :].T
     return -total.astype(jnp.float64)
+
+# ---------------------------------------------------------------------------
+# true-triangle contraction: exact tile triangle, resident accumulators
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def contract_pallas_tri(planes, mu, l=0.0, interpret=False, block=None):
+    """-T mu over the exact unordered tile triangle (i <= j) of the 3-,
+    4- or 5-tuple of [A,A] f32 planes — the successor schedule to
+    contract_pallas_sym.
+
+    Differences from the wrapped-column schedule, all HBM traffic:
+
+    - **Exact triangle.**  A 1D grid of nr(nr+1)/2 steps walks row-major
+      (i, i..nr-1) tile pairs from a scalar-prefetched [2,T] index table;
+      the wrapped schedule's nr*(nr//2+1) steps re-visit the c == nr/2
+      band from both sides at weight 0.5 (nr/2 extra tiles, ~4% of plane
+      bytes at nr = 22).
+    - **Resident transpose accumulator.**  The ef_j (+= T_ij^T mu_i)
+      contributions accumulate into a single [8, A] lanes-major output
+      block whose index map is constant, so Mosaic keeps it in VMEM for
+      the whole grid and flushes it once — replacing the [nr//2+1, 8, A]
+      per-band scratch output and the nc2-roll host epilogue.
+    - **Resident mu.**  The lanes-major mu block [8, A] is likewise
+      grid-invariant and sliced in-kernel at lane offset j*b, replacing
+      a per-step [8, b] fetch.
+
+    The per-tile VPU math is identical to contract_pallas_sym (see its
+    docstring for the symmetry argument and the layout notes; reference
+    anchor contract_dipoles, src/System.Energy.cpp:3564-3598).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import numpy as np
+
+    from .polar import coeffs_from_d
+
+    mode = len(planes)
+    A = planes[0].shape[0]
+    b = block if block else _pick_b_sym(A)
+    nr = A // b
+    ij = np.array([(i, j) for i in range(nr) for j in range(i, nr)],
+                  dtype=np.int32).T                    # [2, T]
+    T = ij.shape[1]
+
+    m = mu.astype(jnp.float32)
+    m8 = jnp.zeros((8, A), jnp.float32).at[:3].set(m.T)     # lanes-major
+    if mode == 3:
+        m8 = m8.at[3].set(jnp.float32(l))
+    mT = jnp.zeros((A, 128), jnp.float32).at[:, :3].set(m)  # sublane-major
+
+    def kernel(sref, mu8_ref, mu_rowT_ref, *refs):
+        if mode == 5:
+            (co_ref, cd_ref, dx_ref, dy_ref, dz_ref,
+             out_row_ref, out_col_ref) = refs
+        elif mode == 4:
+            cd_ref, dx_ref, dy_ref, dz_ref, out_row_ref, out_col_ref = refs
+        else:
+            dx_ref, dy_ref, dz_ref, out_row_ref, out_col_ref = refs
+        t = pl.program_id(0)
+        ii = sref[0, t]
+        jj = sref[1, t]
+        diag = ii == jj
+        jb = jj * b
+
+        @pl.when(t == 0)
+        def _zero():
+            out_col_ref[...] = jnp.zeros_like(out_col_ref)
+
+        mxj = mu8_ref[0:1, pl.ds(jb, b)]   # [1,b] mu of column atoms
+        myj = mu8_ref[1:2, pl.ds(jb, b)]
+        mzj = mu8_ref[2:3, pl.ds(jb, b)]
+        dxv = dx_ref[:]
+        dyv = dy_ref[:]
+        dzv = dz_ref[:]
+        if mode == 3:
+            cov, cdv = coeffs_from_d(dxv, dyv, dzv,
+                                     mu8_ref[3:4, pl.ds(jb, b)])
+        else:
+            cdv = cd_ref[:]
+
+        # ef_i += T_ij mu_j  (reduce over lanes)
+        dot = dxv * mxj + dyv * myj + dzv * mzj
+        if mode == 5:
+            s = co_ref[:] * dot
+        elif mode == 4:
+            s = -dot
+        else:
+            s = cov * dot
+        ex = jnp.sum(s * dxv + cdv * mxj, axis=1, keepdims=True)
+        ey = jnp.sum(s * dyv + cdv * myj, axis=1, keepdims=True)
+        ez = jnp.sum(s * dzv + cdv * mzj, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out_row_ref.shape, 1)
+        val = jnp.where(lane == 0, jnp.broadcast_to(ex, out_row_ref.shape),
+                        jnp.where(lane == 1,
+                                  jnp.broadcast_to(ey, out_row_ref.shape),
+                                  jnp.where(lane == 2,
+                                            jnp.broadcast_to(
+                                                ez, out_row_ref.shape),
+                                            jnp.float32(0.0))))
+        prev = jnp.where(diag, jnp.zeros_like(out_row_ref), out_row_ref[:])
+        out_row_ref[:] = prev + val
+
+        # ef_j += T_ij^T mu_i  (reduce over sublanes); the diagonal tile
+        # was fully counted by the row pass above (the [b,b] block holds
+        # both orderings of its pairs), so skip it here
+        mxi = mu_rowT_ref[:, 0:1]          # [b,1] mu of row atoms
+        myi = mu_rowT_ref[:, 1:2]
+        mzi = mu_rowT_ref[:, 2:3]
+        wc = jnp.where(diag, jnp.float32(0.0), jnp.float32(1.0))
+        dot2 = dxv * mxi + dyv * myi + dzv * mzi
+        if mode == 5:
+            s2 = co_ref[:] * dot2
+        elif mode == 4:
+            s2 = -dot2
+        else:
+            s2 = cov * dot2
+        gx = jnp.sum(s2 * dxv + cdv * mxi, axis=0, keepdims=True) * wc
+        gy = jnp.sum(s2 * dyv + cdv * myi, axis=0, keepdims=True) * wc
+        gz = jnp.sum(s2 * dzv + cdv * mzi, axis=0, keepdims=True) * wc
+        cur = out_col_ref[:, pl.ds(jb, b)]
+        sub = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 0)
+        cval = jnp.where(sub == 0, jnp.broadcast_to(gx, cur.shape),
+                         jnp.where(sub == 1,
+                                   jnp.broadcast_to(gy, cur.shape),
+                                   jnp.where(sub == 2,
+                                             jnp.broadcast_to(gz, cur.shape),
+                                             jnp.float32(0.0))))
+        out_col_ref[:, pl.ds(jb, b)] = cur + cval
+
+    plane = pl.BlockSpec((b, b), lambda t, s: (s[0, t], s[1, t]),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, A), lambda t, s: (t * 0, t * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 128), lambda t, s: (s[0, t], t * 0),
+                         memory_space=pltpu.VMEM),
+        ] + [plane] * len(planes),
+        out_specs=(pl.BlockSpec((b, 128), lambda t, s: (s[0, t], t * 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, A), lambda t, s: (t * 0, t * 0),
+                                memory_space=pltpu.VMEM)),
+    )
+    out_row, out_col = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((A, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((8, A), jnp.float32)),
+        interpret=interpret,
+    )(jnp.asarray(ij), m8, mT, *planes)
+
+    total = out_row[:, :3] + out_col[:3, :].T
+    return -total.astype(jnp.float64)

@@ -192,6 +192,40 @@ class TestContractKernel:
             np.testing.assert_allclose(np.asarray(got4), np.asarray(want4),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_tri_contract_matches_sym(self):
+        """True-triangle kernel (contract_pallas_tri): all three plane
+        modes match contract_pallas_sym at f32 roundoff for even and odd
+        tile counts (the tri schedule has no 0.5-weight wrapped band and
+        accumulates the transpose contributions in a resident [8,A]
+        block instead of the per-band scratch + roll fold)."""
+        from mpmcxx_tpu.ops import pallas_polar
+        rng = np.random.default_rng(7)
+        l = 2.1304
+
+        for A in (256, 640):   # nr even (2) and odd (5) at b=128
+            def antisym(mat):
+                return jnp.asarray((mat - mat.T) / 2, jnp.float32)
+            dx = antisym(rng.normal(size=(A, A)) * 6)
+            dy = antisym(rng.normal(size=(A, A)) * 6)
+            dz = antisym(rng.normal(size=(A, A)) * 6)
+            co = jnp.asarray(-np.abs(rng.normal(size=(A, A))) * 0.01,
+                             jnp.float32)
+            co = (co + co.T) / 2
+            cd = jnp.asarray(rng.normal(size=(A, A)) * 0.02, jnp.float32)
+            cd = (cd + cd.T) / 2
+            mu = jnp.asarray(rng.normal(size=(A, 3)) * 0.1)
+            w = jnp.sqrt(-co)
+            for coeffs in ((dx, dy, dz),                      # mode 3
+                           (cd, w * dx, w * dy, w * dz),      # mode 4
+                           (co, cd, dx, dy, dz)):             # mode 5
+                got = pallas_polar.contract_pallas_tri(
+                    coeffs, mu, l=l, interpret=True)
+                want = pallas_polar.contract_pallas_sym(
+                    coeffs, mu, l=l, interpret=True)
+                np.testing.assert_allclose(np.asarray(got),
+                                           np.asarray(want),
+                                           rtol=2e-5, atol=1e-5)
+
 
 class TestColumnWriteKernel:
     def test_column_window_write_matches_dus(self):
