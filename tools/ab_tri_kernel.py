@@ -1,0 +1,126 @@
+"""On-chip A/B: contract_pallas_sym vs contract_pallas_tri.
+
+The true-triangle kernel (ops/pallas_polar.contract_pallas_tri) is the
+designed successor to the wrapped-column schedule: exact i <= j tile
+triangle (the wrapped schedule revisits the c == nr/2 band at weight 0.5
+— nr/2 extra tiles, ~4% of plane bytes at nr = 22), a resident [8,A]
+transpose accumulator instead of the [nr//2+1, 8, A] per-band scratch +
+host roll fold, and a resident lanes-major mu block.  Interpret-mode
+numerics are gated in tests/test_pallas.py; this tool validates it on
+the live chip at flagship scale and times both kernels chained inside
+one jitted fori_loop (pure device time, immune to the ~25 ms tunnel
+RTT).
+
+Usage (from the repo root; PYTHONPATH breaks axon plugin registration):
+    python -m tools.ab_tri_kernel [--model co2|mono] [--reps 40]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+_T0 = time.time()
+
+
+def _log(m):
+    print(f"[ab_tri {time.time() - _T0:7.1f}s] {m}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="co2", choices=("co2", "mono"))
+    ap.add_argument("--reps", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    import flagship
+    from mpmcxx_tpu.ops import pallas_polar, polar as polar_mod
+
+    if args.model == "co2":
+        state, _m, flags, params, _o = flagship.build_state_co2()
+    else:
+        state, _m, flags, params, _o = flagship.build_state()
+    A = state.n_atom_slots
+    _log(f"A = {A}; building planes...")
+    coeffs, E_static = jax.jit(
+        lambda s: polar_mod.mixed_field_coeffs(s, flags, params))(state)
+    jax.block_until_ready(coeffs)
+    mu0 = (state.polarizability[:, None] * E_static)
+    gb = len(coeffs) * A * A * 4 / 2 / 1e9
+    _log(f"{len(coeffs)} planes; triangle bytes/pass = {gb:.3f} GB "
+         f"(HBM floor ~{gb / 0.819 * 1e3:.2f} ms at 819 GB/s)")
+
+    kernels = {
+        "sym": lambda m: pallas_polar.contract_pallas_sym(
+            coeffs, m, l=params.polar_damp),
+        "tri": lambda m: pallas_polar.contract_pallas_tri(
+            coeffs, m, l=params.polar_damp),
+    }
+
+    # --- numerics gate on the live chip (the tri kernel's only prior
+    # validation is interpret mode) ---------------------------------------
+    ref = None
+    vals = {}
+    for name, fn in kernels.items():
+        try:
+            v = np.asarray(jax.jit(fn)(mu0))
+        except Exception as e:
+            _log(f"{name}: numerics FAILED {type(e).__name__}: "
+                 f"{str(e)[:300]}")
+            vals[name] = None
+            continue
+        vals[name] = v
+        _log(f"{name}: |ef| = {np.linalg.norm(v):.9e}")
+        if ref is None:
+            ref = v
+    ok = True
+    if vals.get("tri") is not None and vals.get("sym") is not None:
+        scale = np.max(np.abs(vals["sym"])) or 1.0
+        err = np.max(np.abs(vals["tri"] - vals["sym"])) / scale
+        _log(f"tri vs sym max rel-to-scale err = {err:.3e}")
+        ok = err < 5e-6       # both are f32 accumulations; ordering only
+    else:
+        ok = False
+
+    # --- timing -----------------------------------------------------------
+    results = {}
+    for name, fn in kernels.items():
+        if vals.get(name) is None:
+            continue
+
+        @jax.jit
+        def chain(mu, fn=fn):
+            def body(_, m):
+                ef = fn(m)
+                return state.polarizability[:, None] * (E_static + ef)
+            return jax.lax.fori_loop(0, args.reps, body, mu)
+
+        r = chain(mu0)
+        float(jnp.sum(r))                            # force completion
+        seg = []
+        for _ in range(3):
+            t0 = time.time()
+            r = chain(mu0)
+            float(jnp.sum(r))
+            seg.append((time.time() - t0) / args.reps * 1e3)
+        ms = float(np.median(seg))
+        results[name] = ms
+        _log(f"{name}: {ms:.3f} ms/contraction "
+             f"(min {min(seg):.3f} max {max(seg):.3f}; "
+             f"{gb / (ms / 1e3):.0f} GB/s effective)")
+
+    print(json.dumps({"A": A, "model": args.model, "numerics_ok": bool(ok),
+                      "ms": results}))
+
+
+if __name__ == "__main__":
+    main()
