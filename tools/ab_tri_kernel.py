@@ -8,8 +8,10 @@ transpose accumulator instead of the [nr//2+1, 8, A] per-band scratch +
 host roll fold, and a resident lanes-major mu block.  Interpret-mode
 numerics are gated in tests/test_pallas.py; this tool validates it on
 the live chip at flagship scale and times both kernels chained inside
-one jitted fori_loop (pure device time, immune to the ~25 ms tunnel
-RTT).
+one jitted fori_loop.  Each timed segment still pays one host round-trip
+(dispatch + scalar fetch, ~25 ms over the tunnel); at the default
+reps=200 that amortizes to ~0.13 ms/contraction, an equal additive bias
+on both kernels (~2% at the ~7 ms scale).
 
 Usage (from the repo root; PYTHONPATH breaks axon plugin registration):
     python -m tools.ab_tri_kernel [--model co2|mono] [--reps 40]
@@ -36,7 +38,7 @@ def _log(m):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="co2", choices=("co2", "mono"))
-    ap.add_argument("--reps", type=int, default=40)
+    ap.add_argument("--reps", type=int, default=200)
     args = ap.parse_args()
 
     import jax
@@ -55,9 +57,17 @@ def main():
         lambda s: polar_mod.mixed_field_coeffs(s, flags, params))(state)
     jax.block_until_ready(coeffs)
     mu0 = (state.polarizability[:, None] * E_static)
-    gb = len(coeffs) * A * A * 4 / 2 / 1e9
-    _log(f"{len(coeffs)} planes; triangle bytes/pass = {gb:.3f} GB "
-         f"(HBM floor ~{gb / 0.819 * 1e3:.2f} ms at 819 GB/s)")
+    # per-kernel plane bytes: tri reads the exact tile triangle
+    # nr(nr+1)/2; sym's wrapped-column schedule reads nr*(nr//2+1) tiles
+    # (the c == nr/2 band twice at weight 0.5 -> ~4% more at nr = 22).
+    b = pallas_polar._pick_b_sym(A)
+    nr = A // b
+    tile_gb = len(coeffs) * b * b * 4 / 1e9
+    gbytes = {"tri": nr * (nr + 1) // 2 * tile_gb,
+              "sym": nr * (nr // 2 + 1) * tile_gb}
+    _log(f"{len(coeffs)} planes, b = {b}, nr = {nr}; bytes/pass "
+         f"tri = {gbytes['tri']:.3f} GB, sym = {gbytes['sym']:.3f} GB "
+         f"(HBM floor ~{gbytes['tri'] / 0.819 * 1e3:.2f} ms at 819 GB/s)")
 
     kernels = {
         "sym": lambda m: pallas_polar.contract_pallas_sym(
@@ -68,7 +78,6 @@ def main():
 
     # --- numerics gate on the live chip (the tri kernel's only prior
     # validation is interpret mode) ---------------------------------------
-    ref = None
     vals = {}
     for name, fn in kernels.items():
         try:
@@ -80,8 +89,6 @@ def main():
             continue
         vals[name] = v
         _log(f"{name}: |ef| = {np.linalg.norm(v):.9e}")
-        if ref is None:
-            ref = v
     ok = True
     if vals.get("tri") is not None and vals.get("sym") is not None:
         scale = np.max(np.abs(vals["sym"])) or 1.0
@@ -116,7 +123,7 @@ def main():
         results[name] = ms
         _log(f"{name}: {ms:.3f} ms/contraction "
              f"(min {min(seg):.3f} max {max(seg):.3f}; "
-             f"{gb / (ms / 1e3):.0f} GB/s effective)")
+             f"{gbytes[name] / (ms / 1e3):.0f} GB/s effective)")
 
     print(json.dumps({"A": A, "model": args.model, "numerics_ok": bool(ok),
                       "ms": results}))
