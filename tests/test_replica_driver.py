@@ -148,3 +148,70 @@ basis3 0 0 16
     # RNG streams stay distinct across the restack
     keys = np.asarray(sim.carry.key)
     assert not (keys[0] == keys[1]).all()
+
+
+@pytest.mark.slow
+def test_vmapped_replicas_match_independent_single_chains():
+    """The replica-DP correctness premise (tools/ab_replicas.py): R
+    vmapped chains through the flagship code path (uVT, incremental
+    Delta-E + polar cache, blocked energy) must each reproduce the
+    independent single-chain run with the same RNG stream, trajectory-
+    exact — the role of the reference's R independent MPI chains
+    (src/System.MonteCarlo.cpp:213-248)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpmcxx_tpu import FFlags, RunParams, constants as const
+    from mpmcxx_tpu.mc import chain as chain_mod
+    from mpmcxx_tpu.parallel import replicas as rep
+    from mpmcxx_tpu.state import AtomRecord, build_state
+
+    L = 18.0
+    rng = np.random.default_rng(3)
+    atoms = []
+    for m in range(12):
+        base = rng.uniform(-L / 2, L / 2, 3)
+        for a in range(2):
+            off = rng.normal(0, 1.0, 3)
+            atoms.append(AtomRecord(
+                "X", "MOL", m + 1, x=base[0] + off[0], y=base[1] + off[1],
+                z=base[2] + off[2], mass=16.0,
+                charge=408.7816 * (0.2 if a % 2 else -0.2),
+                polarizability=0.5, epsilon=60.0, sigma=3.0))
+    state, _ = build_state(atoms, np.eye(3) * L, extra_mol_capacity=6)
+    flags = FFlags(polarization=True, polar_iterative=True,
+                   polar_ewald=True, polar_mixed=True,
+                   damp_type=const.DAMPING_EXPONENTIAL, polar_max_iter=4)
+    params = RunParams(temperature=120.0, ewald_alpha=3.5 / 9.0,
+                       polar_ewald_alpha=3.5 / 9.0, polar_damp=2.1304,
+                       polar_gamma=1.0)
+    opts = chain_mod.MCOptions(
+        ensemble=const.ENSEMBLE_UVT, move_factor=0.3,
+        insert_probability=0.3, fugacity=4.0, incremental=True,
+        polar_incremental=True, max_mol_atoms=2, blocked_energy=True)
+
+    R, chunk = 3, 24
+    carry1 = chain_mod.init_carry(state, flags, params, opts, seed=0)
+    batched = rep.replicate_carry(carry1, R, base_seed=0)
+    runner_r = rep.make_replica_runner(flags, params, opts, chunk,
+                                       mesh=None)
+    out_r, _ = runner_r(batched)
+
+    step = chain_mod.make_step_fn(flags, params, opts)
+    single = jax.jit(
+        lambda c: jax.lax.scan(step, c, None, length=chunk)[0])
+    for r in range(R):
+        key_r = jax.random.fold_in(jax.random.PRNGKey(0), r)
+        out_1 = single(carry1._replace(key=key_r))
+        np.testing.assert_array_equal(np.asarray(out_r.key[r]),
+                                      np.asarray(out_1.key))
+        np.testing.assert_array_equal(
+            np.asarray(out_r.state.mol_alive[r]),
+            np.asarray(out_1.state.mol_alive))
+        np.testing.assert_array_equal(np.asarray(out_r.state.pos[r]),
+                                      np.asarray(out_1.state.pos))
+        np.testing.assert_array_equal(np.asarray(out_r.obs.energy[r]),
+                                      np.asarray(out_1.obs.energy))
+    # distinct streams actually diverge across replicas
+    assert not np.array_equal(np.asarray(out_r.state.pos[0]),
+                              np.asarray(out_r.state.pos[1]))
