@@ -54,9 +54,16 @@ def _dense_argon_pqr() -> str:
     return "\n".join(lines) + "\nEND\n"
 
 
-def _polar_system_pqr() -> str:
+def _polar_system_pqr(n_sorb: int = 14) -> str:
     """A mini flagship shape: 8 frozen +-0.35e framework charges on a
-    grid + 14 neutral polarizable argon-like sorbates."""
+    grid + ``n_sorb`` neutral polarizable argon-like sorbates.
+
+    ``n_sorb`` > 14 places sorbates on a jittered grid instead of
+    uniformly at random (random placement overlaps at high N): the
+    plateau-start mode for skipping the 100k+-step GCMC insertion ramp
+    (the uVT chain's stationary distribution is start-independent; the
+    r4 110 K run was still ramping toward the reference plateau at its
+    600k-step cutoff — VERDICT r4 missing item 2)."""
     import numpy as np
     rng = np.random.default_rng(31)
     lines = []
@@ -71,9 +78,20 @@ def _polar_system_pqr() -> str:
                     f"{-5 + 10 * ix:8.3f} {-5 + 10 * iy:8.3f} "
                     f"{-5 + 10 * iz:8.3f} 50.000 {q:8.4f}  0.5000 "
                     f"40.0  2.800  0.0  0.0")
-    for m in range(14):
+    if n_sorb <= 14:
+        pts = rng.uniform(-9, 9, (n_sorb, 3))
+    else:
+        g = int(np.ceil(n_sorb ** (1 / 3)))
+        grid = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                        axis=-1).reshape(-1, 3)
+        pitch = 20.0 / g
+        pts = (grid + 0.5) * pitch - 10.0 + rng.uniform(
+            -0.15 * pitch, 0.15 * pitch, (g ** 3, 3))
+        keep = rng.permutation(len(pts))[:n_sorb]
+        pts = pts[keep]
+    for m in range(n_sorb):
         i += 1
-        x, y, z = rng.uniform(-9, 9, 3)
+        x, y, z = pts[m]
         lines.append(
             f"ATOM  {i:5d} Ar   Ar M {i:4d}   "
             f"{x:8.3f} {y:8.3f} {z:8.3f} 39.948  0.0000  1.0000 "
@@ -85,10 +103,17 @@ _OURS_POLAR_MIXED = False   # set by --polar: our side runs the
                             # production mixed-precision incremental path
 
 
-def _write_box(d: str) -> None:
-    if _PQR_OVERRIDE is not None:
+_OURS_PQR_OVERRIDE = None   # set by --ours-start-n: plateau-start PQR
+                            # for OUR side only (the reference side's
+                            # saved energy.dat already covers its ramp)
+
+
+def _write_box(d: str, ours: bool = False) -> None:
+    text = _OURS_PQR_OVERRIDE if (ours and _OURS_PQR_OVERRIDE is not None) \
+        else _PQR_OVERRIDE
+    if text is not None:
         with open(os.path.join(d, "boxA.pqr"), "w") as f:
-            f.write(_PQR_OVERRIDE)
+            f.write(text)
     else:
         shutil.copy(os.path.join(REPO, "examples/gibbs-argon/boxA.pqr"), d)
 
@@ -171,7 +196,7 @@ def run_ours(d: str, steps: int, corrtime: int, seed: int,
 
     from mpmcxx_tpu import runner as runner_mod
 
-    _write_box(d)
+    _write_box(d, ours=True)
     with open(os.path.join(d, "run.in"), "w") as f:
         f.write(CONFIG.format(steps=steps, corrtime=corrtime, seed=seed,
                               pressure=pressure, extra=extra,
@@ -226,17 +251,25 @@ def main():
                     help="frozen charged framework + polarizable sorbates"
                          " (4-iteration Thole SCF both sides; ours on the"
                          " polar_mixed incremental-cache flagship path)")
+    ap.add_argument("--ours-start-n", type=int, default=None,
+                    help="start OUR side from a plateau-like config with "
+                         "this many sorbates (requires --polar) instead "
+                         "of the shared 14-sorbate ramp start; use with "
+                         "--ref-dat to compare stationary windows without "
+                         "rerunning either ramp")
     ap.add_argument("--ref-dat", metavar="PATH", default=None,
                     help="reuse a saved reference g.energy.dat instead of "
                          "re-running the (hours-long) reference binary; "
                          "--steps then only lengthens OUR side, so a "
                          "slow GCMC insertion ramp can be run past its "
                          "plateau cheaply (ours is ~100x faster/step)")
-    global _PQR_OVERRIDE, _OURS_POLAR_MIXED
+    global _PQR_OVERRIDE, _OURS_POLAR_MIXED, _OURS_PQR_OVERRIDE
     args = ap.parse_args()
     if args.polar and args.cavity:
         ap.error("--polar and --cavity are separate cross-checks; "
                  "run them one at a time")
+    if args.ours_start_n is not None and not args.polar:
+        ap.error("--ours-start-n is a --polar plateau-start option")
     extra = ""
     if args.polar:
         extra = ("polarization on\npolar_iterative on\npolar_ewald on\n"
@@ -244,6 +277,8 @@ def main():
                  "polar_gamma 1.0\npolar_max_iter 4\n")
         _PQR_OVERRIDE = _polar_system_pqr()
         _OURS_POLAR_MIXED = True
+        if args.ours_start_n is not None:
+            _OURS_PQR_OVERRIDE = _polar_system_pqr(args.ours_start_n)
     if args.cavity:
         extra = "cavity_bias on\ncavity_grid 6\ncavity_radius 2.6\n"
         # The cavity algorithm's acceptance couples to RUNNING means of
@@ -261,6 +296,8 @@ def main():
     global _SNAP_TAG
     mode = "polar" if args.polar else ("cavity" if args.cavity else "plain")
     _SNAP_TAG = f"{mode}_{args.temperature:g}K_{args.steps}"
+    if args.ours_start_n is not None:
+        _SNAP_TAG += f"_startN{args.ours_start_n}"
 
     with tempfile.TemporaryDirectory() as dref, \
             tempfile.TemporaryDirectory() as dours:
