@@ -76,6 +76,11 @@ class ReplicaSimulation:
         self.avg = AvgObservables()
         self._swap_key = jax.random.PRNGKey(seed + 7919)
         self._parity = 0
+        # tempering swap acceptance bookkeeping (the reference's design
+        # tracks nothing here — its temper_system is dead code; counters
+        # let users and tools/ptemp_validate.py check the ladder's health)
+        self.swap_attempts = 0
+        self.swap_accepts = 0
 
         # cross-replica population histogram + multi-sorbate roll-up: the
         # replica-axis role of the reference's per-corrtime MPI gather
@@ -371,6 +376,9 @@ class ReplicaSimulation:
                 new_t, swapped = rep.tempering_swap(
                     self.carry.temperature, self.carry.obs.energy, k,
                     self._parity)
+                self.swap_attempts += sum(
+                    1 for i in range(self.R - 1) if i % 2 == self._parity)
+                self.swap_accepts += int(np.asarray(swapped).sum())
                 self._parity ^= 1
                 self.carry = self.carry._replace(temperature=new_t)
 
