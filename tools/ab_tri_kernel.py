@@ -67,7 +67,7 @@ def main():
               "sym": nr * (nr // 2 + 1) * tile_gb}
     _log(f"{len(coeffs)} planes, b = {b}, nr = {nr}; bytes/pass "
          f"tri = {gbytes['tri']:.3f} GB, sym = {gbytes['sym']:.3f} GB "
-         f"(HBM floor ~{gbytes['tri'] / 0.819 * 1e3:.2f} ms at 819 GB/s)")
+         f"(HBM floor ~{gbytes['tri'] / 819 * 1e3:.2f} ms at 819 GB/s)")
 
     kernels = {
         "sym": lambda m: pallas_polar.contract_pallas_sym(

@@ -81,12 +81,37 @@ def _polar_system_pqr(n_sorb: int = 14) -> str:
     if n_sorb <= 14:
         pts = rng.uniform(-9, 9, (n_sorb, 3))
     else:
-        g = int(np.ceil(n_sorb ** (1 / 3)))
-        grid = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
-                        axis=-1).reshape(-1, 3)
-        pitch = 20.0 / g
-        pts = (grid + 0.5) * pitch - 10.0 + rng.uniform(
-            -0.15 * pitch, 0.15 * pitch, (g ** 3, 3))
+        # FCC sites, not simple cubic: at the 110 K plateau density
+        # (~160 in the 20 A box) an SC grid's pitch is 3.33 A — inside
+        # sigma = 3.405 — so every neighbor pair starts on the repulsive
+        # wall and the chain deletes ~60 molecules before re-ramping
+        # (two failed r5 attempts; the first also dropped g=6 sites at
+        # exactly +-5.0, directly on top of the 8 framework atoms,
+        # E ~ 5e15 K).  FCC at the same density has nearest neighbors
+        # at pitch/sqrt(2) = 3.54 A — mildly attractive, a real
+        # liquid-like start.  The lattice is offset a quarter cell so
+        # no site family coincides with the FW corners, and any site
+        # within 3 A of one is carved out anyway.
+        nc = int(np.ceil((n_sorb / 4) ** (1 / 3)))
+        while True:
+            a = 20.0 / nc
+            cell = np.stack(np.meshgrid(*[np.arange(nc)] * 3,
+                                        indexing="ij"),
+                            axis=-1).reshape(-1, 3)
+            offs = np.array([[0, 0, 0], [0, .5, .5],
+                             [.5, 0, .5], [.5, .5, 0]])
+            pts = ((cell[:, None, :] + offs[None, :, :] + 0.25)
+                   .reshape(-1, 3) * a - 10.0)
+            pts += rng.uniform(-0.05 * a, 0.05 * a, pts.shape)
+            fw = np.stack(np.meshgrid(*[[-5.0, 5.0]] * 3,
+                                      indexing="ij"), axis=-1).reshape(-1, 3)
+            d = pts[:, None, :] - fw[None, :, :]
+            d -= 20.0 * np.round(d / 20.0)
+            clear = (np.sqrt((d ** 2).sum(-1)).min(1) > 3.0)
+            if clear.sum() >= n_sorb:
+                break
+            nc += 1
+        pts = pts[clear]
         keep = rng.permutation(len(pts))[:n_sorb]
         pts = pts[keep]
     for m in range(n_sorb):
@@ -106,6 +131,12 @@ _OURS_POLAR_MIXED = False   # set by --polar: our side runs the
 _OURS_PQR_OVERRIDE = None   # set by --ours-start-n: plateau-start PQR
                             # for OUR side only (the reference side's
                             # saved energy.dat already covers its ramp)
+
+_OURS_SAVE_RESTART = None   # set by --ours-save-restart: copy the final
+                            # restart PQR here so a multi-hour run can be
+                            # CONTINUED by a later --ours-restart run
+                            # (accumulating equilibration across
+                            # invocations instead of re-ramping)
 
 
 def _write_box(d: str, ours: bool = False) -> None:
@@ -204,20 +235,27 @@ def run_ours(d: str, steps: int, corrtime: int, seed: int,
     old = os.getcwd()
     os.chdir(d)
     try:
-        if _OURS_POLAR_MIXED:
-            # the production path: mixed-precision SCF + incremental
-            # polarization cache (a keyword the reference would reject,
-            # so injected rather than written into the shared input)
-            from mpmcxx_tpu.config.parser import read_config
-            from mpmcxx_tpu.runner import Simulation
-            cfg = read_config("run.in")
-            cfg.polar_mixed = True
-            Simulation(cfg, quiet=True).run()
-        else:
-            runner_mod.run_input_file("run.in", quiet=True)
+        _run_ours_inner()
+        if _OURS_SAVE_RESTART is not None:
+            shutil.copy("ar_uvt.restart.pqr", _OURS_SAVE_RESTART)
         return _snap(parse_energy_dat("g.energy.dat"), "ours")
     finally:
         os.chdir(old)
+
+
+def _run_ours_inner():
+    from mpmcxx_tpu import runner as runner_mod
+    if _OURS_POLAR_MIXED:
+        # the production path: mixed-precision SCF + incremental
+        # polarization cache (a keyword the reference would reject,
+        # so injected rather than written into the shared input)
+        from mpmcxx_tpu.config.parser import read_config
+        from mpmcxx_tpu.runner import Simulation
+        cfg = read_config("run.in")
+        cfg.polar_mixed = True
+        Simulation(cfg, quiet=True).run()
+    else:
+        runner_mod.run_input_file("run.in", quiet=True)
 
 
 _SNAP_TAG = None     # set by main(): f"{mode}_{temperature}K_{steps}"
@@ -257,6 +295,13 @@ def main():
                          "of the shared 14-sorbate ramp start; use with "
                          "--ref-dat to compare stationary windows without "
                          "rerunning either ramp")
+    ap.add_argument("--ours-restart", metavar="PATH", default=None,
+                    help="start OUR side from a previously saved restart "
+                         "PQR (see --ours-save-restart): chains long "
+                         "equilibrations across invocations")
+    ap.add_argument("--ours-save-restart", metavar="PATH", default=None,
+                    help="after OUR side finishes, copy its final restart "
+                         "PQR here for a later --ours-restart continuation")
     ap.add_argument("--ref-dat", metavar="PATH", default=None,
                     help="reuse a saved reference g.energy.dat instead of "
                          "re-running the (hours-long) reference binary; "
@@ -264,7 +309,11 @@ def main():
                          "slow GCMC insertion ramp can be run past its "
                          "plateau cheaply (ours is ~100x faster/step)")
     global _PQR_OVERRIDE, _OURS_POLAR_MIXED, _OURS_PQR_OVERRIDE
+    global _OURS_SAVE_RESTART
     args = ap.parse_args()
+    if args.ours_restart is not None and args.ours_start_n is not None:
+        ap.error("--ours-restart and --ours-start-n both set the start "
+                 "configuration; pick one")
     if args.polar and args.cavity:
         ap.error("--polar and --cavity are separate cross-checks; "
                  "run them one at a time")
@@ -279,6 +328,11 @@ def main():
         _OURS_POLAR_MIXED = True
         if args.ours_start_n is not None:
             _OURS_PQR_OVERRIDE = _polar_system_pqr(args.ours_start_n)
+    if args.ours_restart is not None:
+        with open(args.ours_restart) as f:
+            _OURS_PQR_OVERRIDE = f.read()
+    _OURS_SAVE_RESTART = (os.path.abspath(args.ours_save_restart)
+                          if args.ours_save_restart else None)
     if args.cavity:
         extra = "cavity_bias on\ncavity_grid 6\ncavity_radius 2.6\n"
         # The cavity algorithm's acceptance couples to RUNNING means of
@@ -298,6 +352,9 @@ def main():
     _SNAP_TAG = f"{mode}_{args.temperature:g}K_{args.steps}"
     if args.ours_start_n is not None:
         _SNAP_TAG += f"_startN{args.ours_start_n}"
+    if args.ours_restart is not None:
+        _SNAP_TAG += "_cont" + os.path.basename(
+            args.ours_restart).replace(".", "_")
 
     with tempfile.TemporaryDirectory() as dref, \
             tempfile.TemporaryDirectory() as dours:
