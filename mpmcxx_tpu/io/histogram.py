@@ -103,17 +103,24 @@ def write_frozen_dx(f, state, meta, max_bondlength: float = 0.0):
     idx = np.nonzero(frozen)[0]
     n = len(idx)
     mass = np.asarray(state.mass)
+    mol_id = np.asarray(state.mol_id)
 
+    # bonds pair atoms WITHIN one frozen molecule only (calculate_bonds
+    # walks atom2 from atom->next inside the same Molecule,
+    # src/System.cpp:1487-1510); indices are global frozen-atom indices
     bonds = []
     slope, yint = 0.0234, 0.603
     for a in range(n):
         for b in range(a + 1, n):
             i, j = idx[a], idx[b]
+            if mol_id[i] != mol_id[j]:
+                continue
             gm = np.sqrt(mass[i] * mass[j])
             d = np.linalg.norm(pos[i] - pos[j])
             if d < (gm * slope + yint) * max_bondlength:
                 bonds.append((a, b))
 
+    f.write("# OpenDX format coordinate file for frozen atoms\n")
     f.write(f"object 1 class array type float rank 1 shape 3 items {n} "
             "data follows\n")
     for i in idx:
@@ -129,10 +136,27 @@ def write_frozen_dx(f, state, meta, max_bondlength: float = 0.0):
     for i in idx:
         f.write(f"{mass[i]:f}\n")
     f.write('attribute "dep" string "positions"\n')
+    # object 4: per-atom display colors from the mass heuristic
+    # (print_frozen_colors, src/System.Output.cpp:209-244)
+    f.write(f"object 4 class array type float rank 1 shape 3 items {n} "
+            "data follows\n")
+    for i in idx:
+        m = mass[i]
+        if m < 1.1:
+            f.write("0.2 0.2 0.2\n")
+        elif m < 12.2:
+            f.write("0.1 0.5 0.1\n")
+        elif m < 14.1:
+            f.write("0.2 0.2 1.0\n")
+        elif m < 16.1:
+            f.write("1.0 0.0 0.0\n")
+        else:
+            f.write("0.1 0.1 0.1\n")
     f.write('object "irregular positions irregular connections" '
             'class field\n')
     f.write('component "positions" value 1\n')
     f.write('component "connections" value 2\n')
     f.write('component "data" value 3\n')
+    f.write('component "colors" value 4\n')
     f.write("end\n")
     f.flush()

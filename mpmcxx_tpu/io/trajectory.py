@@ -81,7 +81,11 @@ def write_fields(path: str, state, e_static, e_induced,
     with open(path, "w" if first else "a") as f:
         for m in range(M):
             if alive[m] and not frozen[m]:
-                e = tot[m] * const.E2REDUCED
+                # internal fields carry E2REDUCED-scaled charge units;
+                # the log prints e/A (write_field divides by E2REDUCED,
+                # src/System.Output.cpp:1225 — an r5 parity check caught
+                # this writer MULTIPLYING, an E2REDUCED^2 ~ 1.7e5 error)
+                e = tot[m] / const.E2REDUCED
                 f.write(f"{e[0]:f} {e[1]:f} {e[2]:f}\n")
 
 
