@@ -615,6 +615,15 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(accept, x, y), a, b)
         state_out = sel(new_state, state)
+        if opts.spectre:
+            # reference restore semantics: a rejected SPECTRE move keeps
+            # the renormalization shift it applied to the other spectre
+            # sites (only the altered molecule is relinked from backup,
+            # then renormalize runs again — src/System.MonteCarlo.cpp:
+            # 1559-1582).  See moves.spectre_reject_restore.
+            q_rej = moves.spectre_reject_restore(state, new_state, target)
+            state_out = state_out.replace(
+                charge=jnp.where(accept, new_state.charge, q_rej))
         obs_out = sel(obs_after, carry.obs)
         sf_out = sel(sf_new, carry.sf)
         recip_out = jnp.where(accept, recip_new, carry.recip_e)

@@ -307,6 +307,28 @@ def spectre_renormalize(state: SystemState, charge):
     return jnp.where(sp, charge + frac, charge)
 
 
+def spectre_reject_restore(state_old: SystemState, state_new: SystemState,
+                           mol) -> jnp.ndarray:
+    """Charge array after a REJECTED SPECTRE move, reference semantics.
+
+    The reference's restore relinks only the altered molecule's backup and
+    then renormalizes again (src/System.MonteCarlo.cpp:1559-1582): the
+    renormalization shift the rejected proposal applied to every OTHER
+    spectre site survives the restore.  Net effect per rejected move with
+    n spectre sites and proposal delta d: the moved site leaks
+    +d*(n-1)/n^2 and each other site -d/n^2 — rejected moves change the
+    state, so the reference's SPECTRE chain is not reversible and its
+    charges random-walk past spectre_max_charge (where its redraw
+    do/while at :1174-1176 grinds toward a hang; observed live at step
+    ~1750 of tools/spectre_crosscheck.py's toy).  We reproduce the leak
+    exactly for parity; the hang cannot occur here because the
+    closed-form conditional sampler never rejects.
+    """
+    moved = state_old.mol_id == mol
+    q = jnp.where(moved, state_old.charge, state_new.charge)
+    return spectre_renormalize(state_old, q)
+
+
 def spectre_wrapall(state: SystemState, max_target) -> SystemState:
     """Pull SPECTRE charges into the restricted cubic domain of side
     2*spectre_max_target around the target particle

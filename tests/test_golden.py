@@ -23,14 +23,20 @@ FIXTURES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.json")))
 
 
 def build_from_fixture(fix):
-    atoms = []
-    for (at, mt, mid, x, y, z, mass, q, al, eps, sig, om, gw, c6, c8, c10,
-         c9) in fix["atoms"]:
-        atoms.append(AtomRecord(
-            atomtype=at, moleculetype=mt, molecule_id=mid, x=x, y=y, z=z,
-            mass=mass, charge=q * const.E2REDUCED, polarizability=al,
-            epsilon=eps, sigma=sig, omega=om, gwp_alpha=gw, c6=c6, c8=c8,
-            c10=c10, c9=c9))
+    if "pqr_text" in fix:
+        # fixture carries a literal PQR (e.g. a reference restart
+        # snapshot with equilibrated SPECTRE charges + S/T flags)
+        from mpmcxx_tpu.io.pqr import read_pqr
+        atoms = read_pqr(fix["pqr_text"], is_text=True)
+    else:
+        atoms = []
+        for (at, mt, mid, x, y, z, mass, q, al, eps, sig, om, gw, c6, c8,
+             c10, c9) in fix["atoms"]:
+            atoms.append(AtomRecord(
+                atomtype=at, moleculetype=mt, molecule_id=mid, x=x, y=y,
+                z=z, mass=mass, charge=q * const.E2REDUCED,
+                polarizability=al, epsilon=eps, sigma=sig, omega=om,
+                gwp_alpha=gw, c6=c6, c8=c8, c10=c10, c9=c9))
     basis = np.eye(3) * fix["basis"]
     state, _ = build_state(atoms, basis)
 
@@ -66,7 +72,7 @@ def test_golden(path):
         fix = json.load(f)
     if fix.get("oracle") == "tensor":
         pytest.skip("tensor fixture, covered by test_polarizability_tensor")
-    if "atoms" not in fix:
+    if "atoms" not in fix and "pqr_text" not in fix:
         pytest.skip("config-less fixture, covered by a dedicated test")
     state, flags, params = build_from_fixture(fix)
     eb = energy_breakdown(state, flags, params)

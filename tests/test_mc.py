@@ -255,6 +255,42 @@ class TestSpecialMoves:
         # charges actually moved
         assert np.any(np.abs(q[sp] - 408.78 * np.asarray(qs)[:3]) > 1e-6)
 
+    def test_spectre_reject_leak_algebra(self):
+        # the reference's restore relinks only the altered molecule and
+        # renormalizes again (src/System.MonteCarlo.cpp:1559-1582): with n
+        # spectre sites and pre-renormalization proposal delta d on the
+        # moved site, a REJECTED move leaves the moved site at
+        # q_old + d*(n-1)/n^2 and every other at q_old - d/n^2.
+        # spectre_reject_restore must reproduce that leak exactly.
+        n = 12
+        recs = [AtomRecord("T", "TGT", 1, mass=50.0, target=True,
+                           charge=408.78, epsilon=10.0, sigma=3.0)]
+        for m in range(n):
+            recs.append(AtomRecord("S", "SPC", m + 2, x=1.0 + m, y=0.5,
+                                   mass=1.0, spectre=True, charge=0.0,
+                                   epsilon=10.0, sigma=2.0))
+        state, _ = build_state(recs, np.eye(3) * 30.0)
+        key = jax.random.PRNGKey(3)
+        mol = jnp.asarray(4)  # a spectre molecule (0 is the target)
+        new = moves.spectre_displace(state, key, mol, 0.1, 300.0, 5.0)
+        q_old = np.asarray(state.charge)
+        q_new = np.asarray(new.charge)
+        sp = np.asarray(state.spectre)
+        moved = np.asarray(state.mol_id) == 4
+        # reconstruct d from the post-renormalization moved-site value:
+        # q_new_moved = q_old_moved + d*(n-1)/n
+        d = (q_new[moved & sp][0] - q_old[moved & sp][0]) * n / (n - 1)
+        q_rej = np.asarray(moves.spectre_reject_restore(state, new, mol))
+        assert abs(q_rej[moved & sp][0] -
+                   (q_old[moved & sp][0] + d * (n - 1) / n ** 2)) < 1e-9
+        others = sp & ~moved
+        np.testing.assert_allclose(q_rej[others],
+                                   q_old[others] - d / n ** 2, atol=1e-9)
+        # neutrality survives the leak
+        assert abs(q_rej[sp].sum()) < 1e-9
+        # non-spectre (target) charge untouched
+        assert q_rej[0] == q_old[0]
+
 
 class TestNativeCodec:
     def test_format_matches_python(self):
