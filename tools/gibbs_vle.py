@@ -188,6 +188,29 @@ basis3 0 0 {L:.6f}
     rho_l = np.maximum(rho_a, rho_b)       # denser box per sample
     rho_v = np.minimum(rho_a, rho_b)
 
+    snap = os.path.join(REPO, ".xc_snapshots",
+                        f"gibbs_vle_{args.nbox}x2_{args.steps}"
+                        f"_seed{args.seed}.rows.txt")
+    os.makedirs(os.path.dirname(snap), exist_ok=True)
+    np.savetxt(snap, np.asarray(samples),
+               header="N_a V_a N_b V_b (per corrtime, full run)")
+    _log(f"rows saved: {snap}")
+
+    def tau_int(x):
+        """Integrated autocorrelation time in samples (0.05 cutoff)."""
+        x = np.asarray(x, float) - np.mean(x)
+        n = len(x)
+        var = np.dot(x, x) / n
+        if var == 0:
+            return 0.5
+        tau = 0.5
+        for k in range(1, n // 3):
+            c = np.dot(x[:-k], x[k:]) / ((n - k) * var)
+            if c < 0.05:
+                break
+            tau += c
+        return tau
+
     def block_stats(x, nblock=10):
         nb_ = min(nblock, len(x))
         blocks = np.array_split(x, nb_)
@@ -197,14 +220,21 @@ basis3 0 0 {L:.6f}
     out = {}
     verdicts = []
     for name, arr in (("rho_l", rho_l), ("rho_v", rho_v)):
-        mean, err = block_stats(arr)
+        mean, berr = block_stats(arr)
+        # tau-corrected sdom: the liquid density's slow volume-walk modes
+        # make 10-block errors optimistic when tau approaches the block
+        # length (VERDICT r4 weak item 3) — use the larger of the two
+        tau = tau_int(arr)
+        terr = float(arr.std(ddof=1) * np.sqrt(2 * tau / len(arr)))
+        err = max(berr, terr)
         lit, lit_err = LIT[name]
         comb = float(np.hypot(err, lit_err))
         nsig = abs(mean - lit) / comb if comb else float("inf")
         out[name] = (mean, err, nsig)
         verdicts.append(nsig)
-        _log(f"{name}* = {mean:.4f} +- {err:.4f}   literature "
-             f"{lit:.4f} +- {lit_err:.4f}   ({nsig:.2f} sigma)")
+        _log(f"{name}* = {mean:.4f} +- {err:.4f}   (block {berr:.4f}, "
+             f"tau-corrected {terr:.4f} at tau_int {tau:.1f} samples)   "
+             f"literature {lit:.4f} +- {lit_err:.4f}   ({nsig:.2f} sigma)")
     acc = np.asarray(carry.accept)
     _log(f"volume-move accepts: {acc[5]:.0f}; transfer accepts: "
          f"{acc[0]:.0f}; displace accepts: {acc[2]:.0f}")
