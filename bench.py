@@ -367,6 +367,17 @@ def main():
             secondary["ref_measured_on"] = base["flagship_co2_measured_on"]
     if ref_ar > 0:
         secondary["ref_flagship_monatomic_moves_per_sec"] = round(ref_ar, 4)
+    # replica DP on one chip: measured r5 (tools/ab_replicas.py) and
+    # rejected — the [R] batch axis defeats the in-place plane commits
+    # (R=1 vmapped 80.5 vs 161.7 direct; R=2 30.5 aggregate; R=4 OOM)
+    # and the HBM-bound SCF caps any perfect implementation at +33%.
+    # Production replica DP is one chain per chip over the mesh axis;
+    # see docs/PERF.md "Replica DP on one chip".  Static record, not
+    # re-measured per bench run (the R=4 point OOMs the shared worker).
+    secondary["replica_dp_one_chip"] = {
+        "aggregate_moves_per_sec": {"R1_vmapped": 80.5, "R2": 30.5,
+                                    "R4": "OOM"},
+        "verdict": "rejected; use one chain per chip (docs/PERF.md)"}
     result["secondary"] = secondary
     regressions = check_regressions(result)
     if regressions:
