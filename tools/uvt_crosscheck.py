@@ -166,19 +166,42 @@ basis3 0 0 20
 
 
 def stats_from_rows(rows, burn_frac=0.25, n_blocks=10) -> dict:
-    """Mean +- block-averaged sdom: per-corrtime samples are still
-    autocorrelated, so the naive sdom understates the error; block means
-    over ~n_blocks blocks decorrelate it."""
+    """Mean +- max(block-averaged, tau-corrected) sdom.
+
+    Per-corrtime samples are autocorrelated; block means over ~n_blocks
+    blocks decorrelate them ONLY while tau_int stays well under the
+    block length.  Near coexistence (the 110 K point) tau_int(N) runs to
+    ~100 rows — comparable to a 10-block block — and the block error
+    reads several times too small (the r4 '159.2+-0.5 at 1.8 sigma' was
+    this artifact; tau-corrected it is +-0.93 at 1.04 sigma).  Report
+    whichever error is larger."""
     import numpy as np
     rows = rows[max(int(len(rows) * burn_frac), 1):]
+
+    def tau_int(x):
+        x = np.asarray(x, float) - np.mean(x)
+        n = len(x)
+        var = np.dot(x, x) / n
+        if var == 0:
+            return 0.5
+        tau = 0.5
+        for k in range(1, n // 3):
+            c = np.dot(x[:-k], x[k:]) / ((n - k) * var)
+            if c < 0.05:
+                break
+            tau += c
+        return tau
 
     def block_stats(x):
         x = np.asarray(x)
         nb = min(n_blocks, max(len(x) // 2, 1))
         blocks = np.array_split(x, nb)
         bm = np.asarray([b.mean() for b in blocks])
-        return float(x.mean()), float(bm.std(ddof=1) / np.sqrt(len(bm))
-                                      if len(bm) > 1 else 0.0)
+        berr = float(bm.std(ddof=1) / np.sqrt(len(bm))
+                     if len(bm) > 1 else 0.0)
+        terr = float(x.std(ddof=1) * np.sqrt(2 * tau_int(x) / len(x))
+                     if len(x) > 3 else 0.0)
+        return float(x.mean()), max(berr, terr)
 
     return {"E": block_stats([r[0] for r in rows]),
             "N": block_stats([r[1] for r in rows])}
