@@ -138,10 +138,24 @@ _OURS_SAVE_RESTART = None   # set by --ours-save-restart: copy the final
                             # (accumulating equilibration across
                             # invocations instead of re-ramping)
 
+_REF_PQR_OVERRIDE = None    # set by --ref-start-n: plateau-start PQR for
+                            # the REFERENCE side.  The r4/r5 110 K saved
+                            # ref dat is a 300k RAMP run whose quarters
+                            # (127 -> 149 -> 158 -> 160) never go
+                            # stationary — its trailing-window <N> is the
+                            # tail of a transient, not a plateau.  A
+                            # plateau-start on the ref side is the only
+                            # way to get a stationary reference window
+                            # without a ~10 h binary run.
+
 
 def _write_box(d: str, ours: bool = False) -> None:
-    text = _OURS_PQR_OVERRIDE if (ours and _OURS_PQR_OVERRIDE is not None) \
-        else _PQR_OVERRIDE
+    if ours and _OURS_PQR_OVERRIDE is not None:
+        text = _OURS_PQR_OVERRIDE
+    elif not ours and _REF_PQR_OVERRIDE is not None:
+        text = _REF_PQR_OVERRIDE
+    else:
+        text = _PQR_OVERRIDE
     if text is not None:
         with open(os.path.join(d, "boxA.pqr"), "w") as f:
             f.write(text)
@@ -318,6 +332,11 @@ def main():
                          "of the shared 14-sorbate ramp start; use with "
                          "--ref-dat to compare stationary windows without "
                          "rerunning either ramp")
+    ap.add_argument("--ref-start-n", type=int, default=None,
+                    help="start the REFERENCE side from a plateau-like "
+                         "config with this many sorbates (requires --polar "
+                         "and no --ref-dat): the saved 110 K ref dat is a "
+                         "ramp run with no stationary window")
     ap.add_argument("--ours-restart", metavar="PATH", default=None,
                     help="start OUR side from a previously saved restart "
                          "PQR (see --ours-save-restart): chains long "
@@ -332,8 +351,12 @@ def main():
                          "slow GCMC insertion ramp can be run past its "
                          "plateau cheaply (ours is ~100x faster/step)")
     global _PQR_OVERRIDE, _OURS_POLAR_MIXED, _OURS_PQR_OVERRIDE
-    global _OURS_SAVE_RESTART
+    global _OURS_SAVE_RESTART, _REF_PQR_OVERRIDE
     args = ap.parse_args()
+    if args.ref_start_n is not None and not args.polar:
+        ap.error("--ref-start-n is a --polar plateau-start option")
+    if args.ref_start_n is not None and args.ref_dat:
+        ap.error("--ref-start-n reruns the reference binary; drop --ref-dat")
     if args.ours_restart is not None and args.ours_start_n is not None:
         ap.error("--ours-restart and --ours-start-n both set the start "
                  "configuration; pick one")
@@ -351,6 +374,8 @@ def main():
         _OURS_POLAR_MIXED = True
         if args.ours_start_n is not None:
             _OURS_PQR_OVERRIDE = _polar_system_pqr(args.ours_start_n)
+        if args.ref_start_n is not None:
+            _REF_PQR_OVERRIDE = _polar_system_pqr(args.ref_start_n)
     if args.ours_restart is not None:
         with open(args.ours_restart) as f:
             _OURS_PQR_OVERRIDE = f.read()
@@ -375,6 +400,8 @@ def main():
     _SNAP_TAG = f"{mode}_{args.temperature:g}K_{args.steps}"
     if args.ours_start_n is not None:
         _SNAP_TAG += f"_startN{args.ours_start_n}"
+    if args.ref_start_n is not None:
+        _SNAP_TAG += f"_refstartN{args.ref_start_n}"
     if args.ours_restart is not None:
         _SNAP_TAG += "_cont" + os.path.basename(
             args.ours_restart).replace(".", "_")
