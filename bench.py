@@ -307,7 +307,26 @@ def main():
         print(json.dumps(fail))
         return
 
-    co2 = flagship_moves_per_sec("co2")
+    try:
+        co2 = flagship_moves_per_sec("co2")
+    except Exception as e:
+        # A live device does not guarantee a live COMPILER: the remote
+        # Mosaic service has been observed (r5) to sever large-kernel
+        # compiles with a broken pipe at ~30 min while small graphs
+        # compile fine.  Degrade to the honest-failure line with the
+        # last committed success attached rather than a traceback.
+        fail = {
+            "metric": "MC moves/sec, 10,112-atom polarizable multi-site "
+                      "CO2 GCMC (uVT, oriented 3-site insertion, 4-iter "
+                      "Thole SCF, Ewald)",
+            "value": 0.0, "unit": "moves/sec", "vs_baseline": 0.0,
+            "error": f"flagship bench failed: {type(e).__name__}: "
+                     f"{str(e)[:300]}"}
+        last = _load_last_success()
+        if last:
+            fail["last_successful_run"] = last
+        print(json.dumps(fail))
+        return
     result = {
         "metric": "MC moves/sec, 10,112-atom polarizable multi-site CO2 "
                   "GCMC (uVT, oriented 3-site insertion, 4-iter Thole "

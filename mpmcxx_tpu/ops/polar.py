@@ -870,9 +870,15 @@ def contract_mixed(coeffs, mu, l=None):
                 pallas_polar.supported(lead.shape[0]):
             import os
             # T is symmetric: the triangle kernel reads ~half the bytes
-            # (this op is HBM-bound); MPMCXX_SYM_KERNEL=0 falls back
+            # (this op is HBM-bound); MPMCXX_SYM_KERNEL=0 falls back.
+            # MPMCXX_TRI_KERNEL=1 selects the exact-triangle successor
+            # schedule (contract_pallas_tri: no c==nr/2 band revisit,
+            # resident VMEM accumulators — see tools/ab_tri_kernel.py
+            # for the on-chip A/B gate before flipping the default).
             if pallas_polar._pick_b_sym(lead.shape[0]) and \
                     os.environ.get("MPMCXX_SYM_KERNEL", "1") != "0":
+                if os.environ.get("MPMCXX_TRI_KERNEL", "0") == "1":
+                    return pallas_polar.contract_pallas_tri(coeffs, mu, l=l)
                 return pallas_polar.contract_pallas_sym(coeffs, mu, l=l)
             return pallas_polar.contract_pallas(coeffs, mu, l=l)
     if len(coeffs) == 3:
