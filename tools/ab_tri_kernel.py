@@ -39,23 +39,53 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="co2", choices=("co2", "mono"))
     ap.add_argument("--reps", type=int, default=200)
+    ap.add_argument("--atoms", type=int, default=None,
+                    help="synthetic mode: random 3-plane coefficients at "
+                         "this capacity instead of the flagship state. "
+                         "Fallback for remote-compile brownouts that cut "
+                         "flagship-size Mosaic compiles at ~30 min (r5): "
+                         "the contraction is HBM-bound from a few "
+                         "thousand atoms up, so the sym-vs-tri verdict "
+                         "transfers, with the caveat that the resident-"
+                         "accumulator advantage grows with nr = A/b.")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
-    import flagship
+    import numpy as _np
     from mpmcxx_tpu.ops import pallas_polar, polar as polar_mod
 
-    if args.model == "co2":
-        state, _m, flags, params, _o = flagship.build_state_co2()
+    class _Syn:
+        pass
+
+    if args.atoms:
+        A = int(args.atoms)
+        _log(f"A = {A} (synthetic planes); building...")
+        rng = _np.random.default_rng(11)
+        d = rng.uniform(-1.0, 1.0, (3, A, A)).astype(_np.float32)
+        d -= d.transpose(0, 2, 1)          # displacements: antisymmetric
+        for p in d:
+            _np.fill_diagonal(p, 0.0)
+        coeffs = tuple(jnp.asarray(p) * 0.05 for p in d)
+        state = _Syn()
+        state.polarizability = jnp.full((A,), 1.1)
+        E_static = jnp.asarray(rng.uniform(-1, 1, (A, 3)))
+
+        class _P:
+            polar_damp = 2.1304
+        params = _P()
     else:
-        state, _m, flags, params, _o = flagship.build_state()
-    A = state.n_atom_slots
-    _log(f"A = {A}; building planes...")
-    coeffs, E_static = jax.jit(
-        lambda s: polar_mod.mixed_field_coeffs(s, flags, params))(state)
-    jax.block_until_ready(coeffs)
+        import flagship
+        if args.model == "co2":
+            state, _m, flags, params, _o = flagship.build_state_co2()
+        else:
+            state, _m, flags, params, _o = flagship.build_state()
+        A = state.n_atom_slots
+        _log(f"A = {A}; building planes...")
+        coeffs, E_static = jax.jit(
+            lambda s: polar_mod.mixed_field_coeffs(s, flags, params))(state)
+        jax.block_until_ready(coeffs)
     mu0 = (state.polarizability[:, None] * E_static)
     # per-kernel plane bytes: tri reads the exact tile triangle
     # nr(nr+1)/2; sym's wrapped-column schedule reads nr*(nr//2+1) tiles
