@@ -203,13 +203,22 @@ def _pick_movetype(opts: MCOptions, state: SystemState, key, N_movable,
 
 
 def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
-                 topology=None):
+                 topology=None, stats_in_step: bool = True):
     """Build the per-step transition function for lax.scan.
 
     ``topology`` is an optional (mol_start[M], mol_natoms[M]) pair of host
     arrays (static molecule layout): when given, molecule addressing and
     local moves run as O(S) gathers/scatters instead of O(A) masked
     updates — the difference between ~4 ms and ~1 ms per step at 10k atoms.
+
+    ``stats_in_step=False`` passes ``carry.stats`` through untouched; the
+    caller is responsible for folding the scanned ``StepOut`` movetype/
+    accepted/bf columns into NodeStats once per chunk
+    (``accumulate_stats``) — a few [7]-int ops per move replaced by one
+    vectorized [C,7] pass per chunk.  Nothing inside a chunk reads
+    ``carry.stats``, so the chunk-end fold is observationally identical
+    (asserted by the trajectory/stat identity tests).  Direct step users
+    (parallel.replicas, __graft_entry__) keep the default.
     """
     if topology is not None:
         mol_start = jnp.asarray(topology[0], jnp.int32)
@@ -664,12 +673,15 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
         else:
             T_out = T
 
-        onehot = jax.nn.one_hot(movetype, 7, dtype=jnp.int64)
-        stats = NodeStats(
-            accept=carry.stats.accept + jnp.where(accept, onehot, 0),
-            reject=carry.stats.reject + jnp.where(accept, 0, onehot),
-            boltzmann_factor=bf,
-        )
+        if stats_in_step:
+            onehot = jax.nn.one_hot(movetype, 7, dtype=jnp.int64)
+            stats = NodeStats(
+                accept=carry.stats.accept + jnp.where(accept, onehot, 0),
+                reject=carry.stats.reject + jnp.where(accept, 0, onehot),
+                boltzmann_factor=bf,
+            )
+        else:
+            stats = carry.stats
 
         out = StepOut(boltzmann_factor=bf, accepted=accept,
                       movetype=movetype,
@@ -681,6 +693,18 @@ def make_step_fn(flags: FFlags, base_params: RunParams, opts: MCOptions,
                        pcache_out), out
 
     return step
+
+
+def accumulate_stats(stats: NodeStats, outs: StepOut) -> NodeStats:
+    """Fold a chunk's scanned StepOut columns into NodeStats — the
+    chunk-end counterpart of make_step_fn(stats_in_step=False)."""
+    hist = jax.nn.one_hot(outs.movetype, 7, dtype=jnp.int64)
+    acc = jnp.sum(hist * outs.accepted[:, None].astype(jnp.int64), axis=0)
+    return NodeStats(
+        accept=stats.accept + acc,
+        reject=stats.reject + (jnp.sum(hist, axis=0) - acc),
+        boltzmann_factor=outs.boltzmann_factor[-1],
+    )
 
 
 def _carry_planes(carry: MCCarry):
@@ -724,7 +748,8 @@ def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
     dispatch failure above.  Semantically identical to the plain runner
     (tested trajectory-identical); the caller must still not reuse a
     consumed carry's plane buffers."""
-    step = make_step_fn(flags, params, opts, topology=topology)
+    step = make_step_fn(flags, params, opts, topology=topology,
+                        stats_in_step=False)
 
     if donate == "planes":
         @partial(jax.jit, donate_argnums=(0,))
@@ -732,6 +757,8 @@ def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
             carry2, outs = jax.lax.scan(step,
                                         _carry_with_planes(rest, planes),
                                         None, length=chunk_steps)
+            carry2 = carry2._replace(
+                stats=accumulate_stats(carry2.stats, outs))
             return _carry_planes(carry2), _carry_drop_planes(carry2), outs
 
         def run_chunk(carry: MCCarry):
@@ -747,7 +774,9 @@ def make_chunk_runner(flags: FFlags, params: RunParams, opts: MCOptions,
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_chunk(carry: MCCarry):
-        return jax.lax.scan(step, carry, None, length=chunk_steps)
+        carry2, outs = jax.lax.scan(step, carry, None, length=chunk_steps)
+        carry2 = carry2._replace(stats=accumulate_stats(carry2.stats, outs))
+        return carry2, outs
 
     run_chunk.lower_hlo = run_chunk.lower
     return run_chunk
