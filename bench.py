@@ -218,12 +218,22 @@ def pimc_sweeps_per_sec() -> float:
     _log("pimc: compiling 8-bead chunk...")
     carry, _ = sim._run_chunk(carry)
     float(carry.potential_current)
-    t0 = time.time()
-    carry, _ = sim._run_chunk(carry)
-    float(carry.potential_current)
-    dt = time.time() - t0
-    _log(f"pimc: {n} sweeps in {dt:.2f}s -> {n / dt:.1f} sweeps/s")
-    return n / dt
+    # One corrtime chunk is ~80 ms of device work against a ~25 ms
+    # tunnel round-trip — a timing quantum that small read as a fake
+    # -4.5% "drift" in BENCH_r04 (r5 re-measure: 4 in-process repeats
+    # spanned 3,606-4,566 sweeps/s).  Time >=10 chunks / >=1 s and
+    # take the best of 3 segments so the quantum dwarfs the RTT.
+    reps = max(10, 1 + 3000 // max(n, 1))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            carry, _ = sim._run_chunk(carry)
+        float(carry.potential_current)
+        dt = time.time() - t0
+        best = max(best, reps * n / dt)
+    _log(f"pimc: 3 x {reps * n} sweeps, best {best:.1f} sweeps/s")
+    return best
 
 
 def load_baseline() -> dict:
